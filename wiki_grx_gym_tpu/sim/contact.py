@@ -1,0 +1,113 @@
+"""Penalty-based contact between robot proxy spheres and the ground.
+
+Replaces PhysX contact generation + TGS solving (reference N2) with a
+branchless, shape-static compliant contact model: every proxy sphere tests
+against the terrain height function every substep — there is no broad phase,
+no contact-pair buffer (`max_gpu_contact_pairs`, `legged_robot_config.py:50`)
+and no data-dependent shapes, which is exactly what XLA wants.
+
+Force model per point (world axes):
+- penetration ``d = h(x, y) - (z - r)``; active iff ``d > 0``;
+- normal: ``f_n = k_n d - d_n v_n`` clipped to ``>= 0`` (compliant spring +
+  dissipative damper; damping scales down with per-env restitution so DR of
+  restitution — `legged_robot.py:565-578` — changes bounciness);
+- tangential: viscous friction clamped to the Coulomb cone
+  ``|f_t| <= mu f_n`` with per-env friction ``mu`` (DR buckets,
+  `legged_robot.py:550-563`).
+
+The per-body *net* contact force (the reference's
+``net_contact_force_tensor``, `legged_robot.py:112,134`) is recovered by
+masked sums over points.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+# height_fn: (x, y) -> height; world-frame, broadcasts over point batches.
+HeightFn = Callable[[jax.Array, jax.Array], jax.Array]
+
+
+@struct.dataclass
+class ContactParams:
+    """Global contact material/solver constants (static per build).
+
+    ``point_mass`` is the effective inertia a single proxy sphere "sees" at
+    high frequency; damping and friction coefficients are capped at
+    ``point_mass / dt`` (the impulse that stops the point's relative motion in
+    one substep), which makes the explicit integration unconditionally stable
+    regardless of how many points share a foot."""
+
+    stiffness: float = struct.field(pytree_node=False, default=1.0e4)   # N/m
+    damping_ratio: float = struct.field(pytree_node=False, default=0.7)
+    point_mass: float = struct.field(pytree_node=False, default=0.25)   # kg
+    slip_velocity: float = struct.field(pytree_node=False, default=1e-5)
+
+
+def ground_normal(height_fn: HeightFn, x: jax.Array, y: jax.Array, eps: float = 0.05):
+    """Terrain normal from central differences of the height function."""
+    dhdx = (height_fn(x + eps, y) - height_fn(x - eps, y)) / (2.0 * eps)
+    dhdy = (height_fn(x, y + eps) - height_fn(x, y - eps)) / (2.0 * eps)
+    n = jnp.stack([-dhdx, -dhdy, jnp.ones_like(dhdx)], axis=-1)
+    return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+
+
+def contact_forces(
+    params: ContactParams,
+    height_fn: HeightFn,
+    pos: jax.Array,       # (P, 3) world point positions (sphere centers)
+    vel: jax.Array,       # (P, 3) world point velocities
+    radius: jax.Array,    # (P,)
+    friction: jax.Array,      # per-env scalar (or (P,)) friction coefficient
+    restitution: jax.Array,   # per-env scalar in [0, 1]
+    dt: float,
+) -> jax.Array:
+    """World-frame contact force (P, 3) on each proxy sphere."""
+    h = height_fn(pos[..., 0], pos[..., 1])
+    n = ground_normal(height_fn, pos[..., 0], pos[..., 1])
+
+    depth = h - (pos[..., 2] - radius)
+    active = depth > 0.0
+
+    v_n = jnp.sum(vel * n, axis=-1)
+    v_t = vel - v_n[..., None] * n
+
+    imp_cap = params.point_mass / dt  # max stable viscous coefficient
+    zeta = params.damping_ratio * jnp.clip(1.0 - restitution, 0.05, 1.0)
+    d_n = jnp.minimum(2.0 * zeta * jnp.sqrt(params.stiffness * params.point_mass), imp_cap)
+    f_n = jnp.maximum(params.stiffness * depth - d_n * v_n, 0.0)
+    f_n = jnp.where(active, f_n, 0.0)
+
+    # friction: stop the tangential motion within one substep, capped by the
+    # Coulomb cone mu * f_n
+    speed_t = jnp.linalg.norm(v_t, axis=-1)
+    k_t = jnp.minimum(
+        imp_cap, friction * f_n / jnp.maximum(speed_t, params.slip_velocity)
+    )
+    f_t = -k_t[..., None] * v_t
+
+    return f_n[..., None] * n + f_t
+
+
+def body_wrenches(
+    num_bodies: int,
+    point_body: Tuple[int, ...],
+    point_pos_rel: jax.Array,   # (P, 3) relative to the reference origin
+    point_force: jax.Array,     # (P, 3)
+) -> jax.Array:
+    """Aggregate point forces into per-body spatial wrenches (B, 6) at the
+    reference origin (static scatter via one-hot matmul)."""
+    import numpy as np
+
+    onehot = np.zeros((len(point_body), num_bodies), dtype=np.float32)
+    for p, b in enumerate(point_body):
+        onehot[p, b] = 1.0
+    onehot = jnp.asarray(onehot)
+    tau = jnp.cross(point_pos_rel, point_force)
+    wrench_p = jnp.concatenate([tau, point_force], axis=-1)   # (P, 6)
+    return onehot.T @ wrench_p                                 # (B, 6)
