@@ -18,6 +18,19 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax  # noqa: E402
 
+# If a TPU-pool PJRT plugin (axon) was registered by sitecustomize, drop its
+# lazy factory before first backend use: CPU tests must never dial the TPU
+# pool (its grant-claim can block for minutes).
+try:  # pragma: no cover - environment specific
+    import jax._src.xla_bridge as _xb
+
+    _xb._backend_factories.pop("axon", None)
+except Exception:
+    pass
+
+# sitecustomize may have imported jax before this file ran, freezing
+# JAX_PLATFORMS=axon from the environment — override through the config API.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import pytest  # noqa: E402

@@ -1,0 +1,180 @@
+"""GR1T1 env behavior tests — obs layout, reward registry, resets,
+termination, determinism (SURVEY.md §4: fixed-seed regression tests with
+CPU-runnable tiny configs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wiki_grx_gym_tpu.envs import task_registry
+
+
+@pytest.fixture(scope="module")
+def small_env():
+    env_cfg, _ = task_registry.get_cfgs("GR1T1")
+    env_cfg.env.num_envs = 8
+    env, _ = task_registry.make_env("GR1T1", env_cfg=env_cfg)
+    return env
+
+
+@pytest.fixture(scope="module")
+def stepped(small_env):
+    env = small_env
+    state = env.init_state(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    state, out = step(state, jnp.zeros((8, 10)))
+    return env, state, out, step
+
+
+def test_obs_layout(stepped):
+    env, state, out, _ = stepped
+    # 39 actor obs / 168 privileged obs (gr1t1_lower_limb_config.py:13-15)
+    assert out.obs.shape == (8, 39)
+    assert out.pri_obs.shape == (8, 168)
+    # layout: 3 cmd + 3 ang_vel + 3 gravity + 10 pos + 10 vel + 10 act
+    assert env.obs_dim == 39
+    # privileged tail: 3 lin_vel + 1 height + 2 contact + 2 feet_h + 121 surround
+    assert env.pri_obs_dim == 39 + 3 + 1 + 2 + 2 + 121
+    # pri obs leading block equals obs minus noise: commands identical
+    np.testing.assert_allclose(out.pri_obs[:, :3], state.commands, atol=1e-5)
+
+
+def test_active_rewards_match_config(small_env):
+    # exactly the nonzero scales of gr1t1_lower_limb_config.py:41-80
+    expected = {
+        "stand_still", "cmd_diff_lin_vel_x", "cmd_diff_lin_vel_y",
+        "cmd_diff_ang_vel_yaw", "cmd_diff_lin_vel_z", "cmd_diff_base_height",
+        "cmd_diff_base_orient", "cmd_diff_torso_orient", "action_diff",
+        "action_diff_diff", "dof_acc_new", "dof_tor_new",
+        "dof_tor_ankle_feet_lift_up", "pose_offset", "limits_dof_pos",
+        "limits_dof_vel", "limits_dof_tor", "feet_speed_xy_close_to_ground",
+        "feet_air_time", "feet_air_height", "feet_air_force", "feet_land_time",
+        "on_the_air", "feet_stumble",
+    }
+    assert set(small_env.reward_names) == expected
+    # scales are dt-multiplied (legged_robot.py:844-850)
+    assert small_env.reward_scales["cmd_diff_lin_vel_x"] == pytest.approx(1.0 * 0.02)
+
+
+def test_determinism(small_env):
+    env = small_env
+    step = jax.jit(env.step)
+    a = jax.random.normal(jax.random.PRNGKey(5), (8, 10)) * 0.1
+
+    s1 = env.init_state(jax.random.PRNGKey(42))
+    s2 = env.init_state(jax.random.PRNGKey(42))
+    for _ in range(3):
+        s1, o1 = step(s1, a)
+        s2, o2 = step(s2, a)
+    np.testing.assert_array_equal(np.asarray(o1.obs), np.asarray(o2.obs))
+    np.testing.assert_array_equal(np.asarray(o1.rew), np.asarray(o2.rew))
+
+
+def test_standing_does_not_terminate():
+    """With DR/noise/pushes disabled (the play.py override style,
+    scripts/play.py:46-56), zero actions = PD hold at the default pose and
+    the robot must stand indefinitely."""
+    env_cfg, _ = task_registry.get_cfgs("GR1T1")
+    env_cfg.env.num_envs = 4
+    dr = env_cfg.domain_rand
+    dr.randomize_friction = dr.randomize_restitution = False
+    dr.randomize_base_mass = dr.randomize_base_com = False
+    dr.randomize_motor_strength = dr.push_robots = False
+    dr.randomize_init_dof_pos = dr.randomize_init_base_velocity = False
+    env_cfg.noise.add_noise = False
+    env, _ = task_registry.make_env("GR1T1", env_cfg=env_cfg)
+    state = env.init_state(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    zeros = jnp.zeros((4, 10))
+    resets = 0
+    for _ in range(50):
+        state, out = step(state, zeros)
+        resets += int(jnp.sum(out.reset))
+    assert resets == 0, "standing robot terminated"
+    assert bool(jnp.all(state.physics.base_pos[:, 2] > 0.5))
+    assert bool(jnp.all(jnp.isfinite(out.obs)))
+
+
+def test_with_dr_runs_finite(stepped):
+    """Full DR on: some robots may fall (the reference behaves identically
+    with +-0.5 m/s random spawn velocities) but everything stays finite and
+    resets recover."""
+    env, state, _, step = stepped
+    zeros = jnp.zeros((8, 10))
+    for _ in range(60):
+        state, out = step(state, zeros)
+    assert bool(jnp.all(jnp.isfinite(out.obs)))
+    assert bool(jnp.all(jnp.isfinite(state.physics.base_pos)))
+    assert bool(jnp.all(state.physics.base_pos[:, 2] > 0.0))
+
+
+def test_tilt_termination(small_env):
+    """A robot spawned sideways must terminate via the tilt check
+    (legged_robot.py:345-347)."""
+    env = small_env
+    state = env.init_state(jax.random.PRNGKey(1))
+    # roll the base 90 degrees
+    from wiki_grx_gym_tpu.utils.maths import quat_from_euler_xyz
+
+    n = env.num_envs
+    tilted = quat_from_euler_xyz(jnp.full(n, jnp.pi / 2), jnp.zeros(n), jnp.zeros(n))
+    state = state.replace(physics=state.physics.replace(base_quat=tilted))
+    state, out = jax.jit(env.step)(state, jnp.zeros((n, 10)))
+    assert bool(jnp.all(out.reset)), "tilted robots must reset"
+    # after the reset merge the quats are fresh uprights
+    z = state.physics.base_pos[:, 2]
+    assert bool(jnp.all(jnp.abs(z - 0.95) < 0.2))
+
+
+def test_timeout_termination_and_bootstrapping_flag(small_env):
+    env = small_env
+    state = env.init_state(jax.random.PRNGKey(2))
+    state = state.replace(episode_length=jnp.full(env.num_envs, env.max_episode_length, jnp.int32))
+    state, out = jax.jit(env.step)(state, jnp.zeros((env.num_envs, 10)))
+    assert bool(jnp.all(out.reset))
+    assert bool(jnp.all(out.extras["time_outs"]))
+    assert bool(jnp.all(state.episode_length == 0))
+
+
+def test_episode_metrics_on_reset(small_env):
+    env = small_env
+    state = env.init_state(jax.random.PRNGKey(3))
+    state = state.replace(episode_length=jnp.full(env.num_envs, env.max_episode_length, jnp.int32))
+    _, out = jax.jit(env.step)(state, jnp.zeros((env.num_envs, 10)))
+    ep = out.extras["episode"]
+    assert set(ep.keys()) == {"rew_" + n for n in env.reward_names}
+    for v in ep.values():
+        assert np.isfinite(float(v))
+
+
+def test_action_clip_boxes(small_env):
+    """Per-joint clip boxes are URDF limits widened by 30 deg
+    (gr1t1_lower_limb_config.py:92-104)."""
+    env = small_env
+    # left_knee_pitch (dof 3): box [-0.09, 1.92] ± 30 deg
+    np.testing.assert_allclose(float(env.clip_actions_max[3]), 1.92 + np.deg2rad(30), atol=1e-5)
+    np.testing.assert_allclose(float(env.clip_actions_min[3]), -0.09 - np.deg2rad(30), atol=1e-5)
+    clipped = env.clip_actions(jnp.full((8, 10), 10.0))
+    assert bool(jnp.all(clipped <= env.clip_actions_max + 1e-6))
+
+
+def test_default_pose_and_gains(small_env):
+    env = small_env
+    # default angles (gr1t1_config.py:94-110): hip_pitch -15deg, knee +30deg
+    np.testing.assert_allclose(float(env.default_dof_pos[2]), -np.deg2rad(15), atol=1e-6)
+    np.testing.assert_allclose(float(env.default_dof_pos[3]), np.deg2rad(30), atol=1e-6)
+    # lower-limb PD gains: hip_roll kp = 48/deg2rad(30)
+    np.testing.assert_allclose(float(env.p_gains[0]), 48 / np.deg2rad(30), rtol=1e-6)
+    np.testing.assert_allclose(float(env.d_gains[0]), 48 / np.deg2rad(30) / 20, rtol=1e-6)
+
+
+def test_push_robots_changes_velocity(small_env):
+    env = small_env
+    state = env.init_state(jax.random.PRNGKey(7))
+    step = jax.jit(env.step)
+    # run up to one step before the push interval
+    state = state.replace(common_step=jnp.asarray(env.push_interval - 1, jnp.int32))
+    state, _ = step(state, jnp.zeros((env.num_envs, 10)))
+    vel = np.asarray(state.physics.base_lin_vel[:, :2])
+    assert np.any(np.abs(vel) > 1e-4), "push should set nonzero xy base velocity"

@@ -1,0 +1,256 @@
+"""Nested-class config system + base legged-robot config.
+
+Mirrors the reference's inheritance-based config trees
+(`legged_gym/envs/base/base_config.py:33-55` — recursive auto-instantiation
+of nested classes) so that robot variants are plain subclasses overriding a
+handful of attributes (the 5-level chain `LeggedRobotCfg -> FFTAI -> GR1T1 ->
+GR1T1LowerLimb -> GR1T2LowerLimb`, SURVEY.md §5).
+
+Default values below follow `legged_gym/envs/base/legged_robot_config.py`.
+"""
+
+from __future__ import annotations
+
+import inspect
+
+
+class BaseConfig:
+    """Recursively instantiates nested config classes on construction so
+    instances can be mutated per-run (CLI overrides) without touching the
+    class definitions."""
+
+    def __init__(self):
+        self._init_member_classes(self)
+
+    @staticmethod
+    def _init_member_classes(obj):
+        for key in dir(obj):
+            if key.startswith("__"):
+                continue
+            var = getattr(obj, key)
+            if inspect.isclass(var):
+                inst = var()
+                setattr(obj, key, inst)
+                BaseConfig._init_member_classes(inst)
+
+
+def class_to_dict(obj) -> dict:
+    """Config (sub)tree -> plain dict (`legged_gym/utils/helpers.py:42-57`)."""
+    if not hasattr(obj, "__dict__") and not hasattr(obj, "__class__"):
+        return obj
+    result = {}
+    for key in dir(obj):
+        if key.startswith("_"):
+            continue
+        val = getattr(obj, key)
+        if callable(val) and not inspect.isclass(val):
+            continue
+        if hasattr(val, "__dict__") or inspect.isclass(val):
+            result[key] = class_to_dict(val)
+        else:
+            result[key] = val
+    return result
+
+
+def update_class_from_dict(obj, d: dict) -> None:
+    """dict -> config tree, recursively (`legged_gym/utils/helpers.py:60-67`)."""
+    for key, val in d.items():
+        attr = getattr(obj, key, None)
+        if isinstance(val, dict):
+            update_class_from_dict(attr, val)
+        else:
+            setattr(obj, key, val)
+
+
+class LeggedRobotCfg(BaseConfig):
+    class sim:
+        dt = 0.005
+        gravity = [0.0, 0.0, -9.81]
+        # contact solver constants (replace the reference's PhysX block,
+        # legged_robot_config.py:41-52, with penalty-contact knobs)
+        contact_stiffness = 1.0e4       # N/m per proxy sphere
+        contact_damping_ratio = 0.7
+        contact_point_mass = 0.25       # kg; caps damping/friction impulses
+        slip_velocity = 1e-5
+
+    class env:
+        num_envs = 4096
+        episode_length_s = 20
+        num_obs = 235
+        num_pri_obs = None
+        num_actions = 12
+        env_spacing = 3.0
+        send_timeouts = True
+
+    class terrain:
+        mesh_type = "trimesh"  # none, plane, heightfield, trimesh
+        horizontal_scale = 0.1
+        vertical_scale = 0.005
+        border_size = 25
+        curriculum = True
+        num_rows = 10
+        num_cols = 20
+        max_init_terrain_level = 9
+        static_friction = 1.0
+        dynamic_friction = 1.0
+        restitution = 0.0
+        measure_heights = True
+        measured_points_x = [-0.5, -0.4, -0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3, 0.4, 0.5]
+        measured_points_y = [-0.5, -0.4, -0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3, 0.4, 0.5]
+        selected = False
+        terrain_kwargs = None
+        terrain_proportions = [0.1, 0.1, 0.35, 0.25, 0.2]
+        slope_treshold = 0.75
+        terrain_length = 8.0
+        terrain_width = 8.0
+
+    class asset:
+        file = ""
+        name = "legged_robot"
+        torso_name = "torso"
+        foot_name = "None"
+        penalize_contacts_on = []
+        terminate_after_contacts_on = ["base"]
+        disable_gravity = False
+        fix_base_link = False
+        self_collisions = 0
+        armature = 0.0
+
+    class init_state:
+        pos = [0.0, 0.0, 1.0]
+        rot = [0.0, 0.0, 0.0, 1.0]
+        lin_vel = [0.0, 0.0, 0.0]
+        ang_vel = [0.0, 0.0, 0.0]
+        default_joint_angles = {"joint_a": 0.0, "joint_b": 0.0}
+
+    class commands:
+        curriculum = False
+        max_curriculum = 1.0
+        num_commands = 4
+        resampling_command_interval_s = 10.0
+        heading_command = True
+
+        class ranges:
+            lin_vel_x = [-1.0, 1.0]
+            lin_vel_y = [-1.0, 1.0]
+            ang_vel_yaw = [-1.0, 1.0]
+            heading = [-3.14, 3.14]
+
+    class control:
+        control_type = "P"  # P: position, V: velocity, T: torques
+        stiffness = {"joint_a": 10.0, "joint_b": 15.0}
+        damping = {"joint_a": 1.0, "joint_b": 1.5}
+        action_scale = 0.5
+        decimation = 4
+        # actuation delay model (legged_robot_fftai.py:53-54): per-env normal
+        # in substeps; the reference samples one host-side value per step,
+        # here it is per-env and traced
+        actuation_delay = False
+        actuation_delay_mean = 5.0
+        actuation_delay_std = 2.0
+
+    class domain_rand:
+        randomize_friction = True
+        friction_range = [0.1, 1.0]
+        randomize_restitution = True
+        restitution_range = [0.0, 0.5]
+        randomize_base_mass = True
+        multiply_base_mass_range = [0.9, 1.1]
+        randomize_base_com = True
+        add_base_com_range_x = [-0.1, 0.1]
+        add_base_com_range_y = [-0.1, 0.1]
+        add_base_com_range_z = [-0.1, 0.1]
+        randomize_motor_strength = True
+        multiply_motor_strength = [0.9, 1.1]
+        push_robots = True
+        push_interval_s = 10.0
+        max_push_vel_xy = 0.5
+        randomize_init_dof_pos = True
+        randomize_init_base_velocity = True
+
+    class rewards:
+        class scales:
+            termination = -0.0
+
+        only_positive_rewards = True
+        tracking_sigma = 0.25
+        soft_dof_pos_limit = 1.0
+        soft_dof_vel_limit = 1.0
+        soft_torque_limit = 1.0
+        base_height_target = 1.0
+        max_contact_force = 100.0
+
+    class noise:
+        add_noise = True
+        noise_level = 1.0
+
+        class noise_scales:
+            action = 0.0
+            dof_pos = 0.01
+            dof_vel = 1.5
+            lin_vel = 0.1
+            ang_vel = 0.2
+            gravity = 0.05
+            height_measurements = 0.1
+
+    class normalization:
+        class obs_scales:
+            action = 1.0
+            lin_vel = 2.0
+            ang_vel = 0.25
+            gravity = 1.0
+            dof_pos = 1.0
+            dof_vel = 0.05
+            height_measurements = 5.0
+
+        clip_observations = 100.0
+        clip_actions = 100.0
+
+    class viewer:
+        ref_env = 0
+        pos = [10, 0, 6]
+        lookat = [11.0, 5, 3.0]
+
+
+class LeggedRobotCfgPPO(BaseConfig):
+    seed = 1
+    runner_class_name = "OnPolicyRunner"
+
+    class runner:
+        algorithm_class_name = "PPO"
+        policy_class_name = "ActorCritic"
+        num_steps_per_env = 24
+        max_iterations = 1500
+        save_interval = 50
+        experiment_name = "test"
+        run_name = ""
+        resume = False
+        load_run = -1
+        checkpoint = -1
+        resume_path = None
+
+    class algorithm:
+        value_loss_coef = 1.0
+        use_clipped_value_loss = True
+        clip_param = 0.2
+        entropy_coef = 0.01
+        num_learning_epochs = 5
+        num_mini_batches = 4
+        learning_rate = 1.0e-3
+        learning_rate_min = 1.0e-5
+        learning_rate_max = 1.0e-2
+        schedule = "adaptive"
+        gamma = 0.99
+        lam = 0.95
+        desired_kl = 0.01
+        max_grad_norm = 1.0
+        storage_class = "RolloutStorage"
+
+    class policy:
+        init_noise_std = 1.0
+        fixed_std = False
+        actor_hidden_dims = [512, 256, 128]
+        critic_hidden_dims = [512, 256, 128]
+        activation = "elu"
+        actor_output_activation = None
+        critic_output_activation = None

@@ -1,0 +1,811 @@
+"""Legged-robot RL environment: the TPU-native L3 layer.
+
+Functional counterpart of the reference env stack
+(`legged_gym/envs/base/legged_robot.py` + `envs/fftai/legged_robot_fftai.py`
++ `envs/gr1t1/gr1t1.py`): one pure ``step(state, actions) -> (state, out)``
+containing the whole pipeline —
+
+    clip actions (per-joint boxes, fftai:171-177)
+    decimation scan x10: actuation delay -> PD torques -> physics substep
+        (fftai during_physics_step, :51-88)
+    post-physics: counters, command resampling, pushes, air/land trackers,
+        termination, rewards, branchless resets, observations
+        (legged_robot.py:269-305 / fftai:90-133)
+
+Key re-designs vs the reference (documented divergences):
+- resets are `jnp.where` merges instead of indexed native setters
+  (`legged_robot.py:736-740,782-784`) — no host sync, no index lists;
+- the actuation delay is sampled *per env* each step (the reference samples
+  one host-side numpy value for all envs, fftai:53-54);
+- the post-reset observation is computed uniformly from the post-reset
+  state (the reference mixes stale base velocities with fresh dof state for
+  just-reset envs because its buffers refresh before `reset_idx`);
+- domain randomization of body properties is sampled at env init into traced
+  per-env scalars (`legged_robot.py:538-648` does host-side property edits).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from wiki_grx_gym_tpu.envs.rewards import REWARDS, RewardContext
+from wiki_grx_gym_tpu.models.robot import RobotModel
+from wiki_grx_gym_tpu.sim.contact import ContactParams
+from wiki_grx_gym_tpu.sim.engine import (
+    BodyRandomization,
+    PhysicsState,
+    flat_ground,
+    physics_step,
+)
+from wiki_grx_gym_tpu.sim.kinematics import forward_kinematics
+from wiki_grx_gym_tpu.utils import maths
+
+
+@struct.dataclass
+class EnvState:
+    """Batched (num_envs, ...) environment state pytree — the entire mutable
+    world. Replaces the reference's global tensor cache + dozens of
+    `self.*_buf` member tensors (`legged_robot.py:106-173`)."""
+
+    physics: PhysicsState            # (N, ...) leaves
+    rng: jax.Array                   # (2,) PRNG key
+    episode_length: jax.Array        # (N,) int32
+    common_step: jax.Array           # () int32 — push-interval counter
+    commands: jax.Array              # (N, 3)
+    actions: jax.Array               # (N, A) current clipped actions
+    last_actions: jax.Array          # (N, A)
+    last_last_actions: jax.Array     # (N, A)
+    last_dof_vel: jax.Array          # (N, D)
+    torques: jax.Array               # (N, D) last applied torques
+    feet_air_time: jax.Array         # (N, F)
+    feet_land_time: jax.Array        # (N, F)
+    feet_contact_last: jax.Array     # (N, F) bool
+    episode_sums: jax.Array          # (N, R) per-reward episode sums
+    rand: BodyRandomization          # per-env scalars, (N,) leaves
+    motor_strength: jax.Array        # (N, D)
+    env_origins: jax.Array           # (N, 3)
+    terrain_levels: jax.Array        # (N,) int32 (terrain curriculum)
+    terrain_types: jax.Array         # (N,) int32
+
+
+class StepOutput(NamedTuple):
+    obs: jax.Array
+    pri_obs: jax.Array
+    rew: jax.Array
+    reset: jax.Array
+    extras: Dict[str, Any]
+
+
+class LeggedEnv:
+    """Static env builder + pure step/reset functions.
+
+    All name→index resolution, reward selection, gain matching and layout
+    checks happen here, once, on the host. The instance itself is hashable
+    static state — safe to close over inside jit.
+    """
+
+    def __init__(self, cfg, model: RobotModel, terrain=None):
+        self.cfg = cfg
+        self.model = model
+        self.terrain = terrain
+
+        c = cfg
+        self.num_envs = int(c.env.num_envs)
+        self.num_actions = int(c.env.num_actions)
+        self.num_dof = model.num_dof
+        assert self.num_actions == self.num_dof, (
+            f"num_actions {self.num_actions} != num_dof {self.num_dof}"
+        )
+        self.decimation = int(c.control.decimation)
+        self.sim_dt = float(c.sim.dt)
+        self.dt = self.sim_dt * self.decimation   # policy dt (legged_robot.py:92)
+        self.max_episode_length_s = float(c.env.episode_length_s)
+        self.max_episode_length = int(np.ceil(self.max_episode_length_s / self.dt))
+        self.resample_interval = int(c.commands.resampling_command_interval_s / self.dt)
+        self.push_interval = int(np.ceil(c.domain_rand.push_interval_s / self.dt))
+
+        # --- per-DOF constants (legged_robot.py:176-197, 594-615) ---
+        dof_names = model.dof_names
+        default_pos = np.zeros(self.num_dof, np.float32)
+        p_gains = np.zeros(self.num_dof, np.float32)
+        d_gains = np.zeros(self.num_dof, np.float32)
+        for i, name in enumerate(dof_names):
+            default_pos[i] = c.init_state.default_joint_angles[name]
+            for key, kp in c.control.stiffness.items():
+                if key in name:
+                    p_gains[i] = kp
+                    d_gains[i] = c.control.damping[key]
+        self.default_dof_pos = jnp.asarray(default_pos)
+        self.p_gains = jnp.asarray(p_gains)
+        self.d_gains = jnp.asarray(d_gains)
+        self.torque_limits = model.dof_effort_limit
+        self.dof_vel_limits = model.dof_vel_limit
+
+        lo = np.asarray(model.dof_lower)
+        hi = np.asarray(model.dof_upper)
+        mid, rng_ = (lo + hi) / 2, hi - lo
+        soft = c.rewards.soft_dof_pos_limit
+        self.dof_pos_soft_lower = jnp.asarray(mid - 0.5 * rng_ * soft)
+        self.dof_pos_soft_upper = jnp.asarray(mid + 0.5 * rng_ * soft)
+
+        # --- action clip boxes (fftai clip_actions, gr1t1 cfg margins) ---
+        amax = np.array(
+            [self._match_by_name(c.normalization.actions_max, n) for n in dof_names],
+            np.float32,
+        )
+        amin = np.array(
+            [self._match_by_name(c.normalization.actions_min, n) for n in dof_names],
+            np.float32,
+        )
+        if getattr(c.normalization, "clip_margin_mode", "span") == "deg30":
+            margin = np.deg2rad(30.0) * np.ones_like(amax)
+        else:
+            margin = (np.abs(amax) + np.abs(amin)) * 0.01
+        self.clip_actions_max = jnp.asarray(amax + margin)
+        self.clip_actions_min = jnp.asarray(amin - margin)
+
+        # --- named body/joint groups (gr1t1.py:18-279) ---
+        self.feet_links = model.find_links(c.asset.foot_name)
+        assert len(self.feet_links) >= 1, "no feet found"
+        self.num_feet = len(self.feet_links)
+        self.feet_bodies = tuple(model.link_frame(l)[0] for l in self.feet_links)
+        self.feet_offsets = jnp.stack(
+            [model.link_frame(l)[1] for l in self.feet_links]
+        )  # (F, 3)
+
+        self.knee_dofs = model.find_dofs(c.asset.knee_name)
+        self.hip_roll_dofs = model.find_dofs(c.asset.hip_roll_name)
+        self.hip_yaw_dofs = model.find_dofs(c.asset.hip_yaw_name)
+        self.ankle_dofs = model.find_dofs(c.asset.ankle_name)
+
+        # torso / forehead frames (may be welded into the base)
+        self.torso_frame = self._opt_frame(c.asset.torso_name + "_link")
+        self.forehead_frame = self._opt_frame(getattr(c.asset, "forehead_name", "") + "_link")
+
+        # --- contact groups: per-foot, termination links, penalized links ---
+        self.feet_point_masks = jnp.stack(
+            [model.link_point_mask([l]) for l in self.feet_links]
+        )  # (F, P)
+        term_links = []
+        for sub in c.asset.terminate_after_contacts_on:
+            term_links.extend(model.find_links(sub))
+        self.termination_links = tuple(dict.fromkeys(term_links))
+        self.termination_masks = (
+            jnp.stack([model.link_point_mask([l]) for l in self.termination_links])
+            if self.termination_links
+            else jnp.zeros((0, model.num_points))
+        )  # (L_term, P) — per-link norms, matching legged_robot.py:339-343
+        pen_links = []
+        for sub in c.asset.penalize_contacts_on:
+            pen_links.extend(model.find_links(sub))
+        self.penalized_links = tuple(dict.fromkeys(pen_links))
+        self.penalized_masks = (
+            jnp.stack([model.link_point_mask([l]) for l in self.penalized_links])
+            if self.penalized_links
+            else jnp.zeros((0, model.num_points))
+        )
+
+        # --- height measurement grid (legged_robot.py:1219-1233) ---
+        gx, gy = np.meshgrid(
+            np.asarray(c.terrain.measured_points_x, np.float32),
+            np.asarray(c.terrain.measured_points_y, np.float32),
+            indexing="ij",
+        )
+        self.height_points = jnp.asarray(
+            np.stack([gx.flatten(), gy.flatten()], axis=-1)
+        )  # (H, 2)
+        self.num_height_points = self.height_points.shape[0]
+
+        # --- terrain / ground ---
+        if terrain is not None:
+            self.height_fn = terrain.height_fn
+        else:
+            self.height_fn = flat_ground
+        self.contact_params = ContactParams(
+            stiffness=c.sim.contact_stiffness,
+            damping_ratio=c.sim.contact_damping_ratio,
+            point_mass=c.sim.contact_point_mass,
+            slip_velocity=c.sim.slip_velocity,
+        )
+
+        # --- reward selection (legged_robot.py:840-866): drop zero scales,
+        # multiply by dt ---
+        from wiki_grx_gym_tpu.envs.base_config import class_to_dict
+
+        raw_scales = class_to_dict(c.rewards.scales)
+        self.reward_names: Tuple[str, ...] = tuple(
+            n for n, s in raw_scales.items() if s != 0 and n != "termination"
+        )
+        self.reward_scales = {n: raw_scales[n] * self.dt for n in self.reward_names}
+        self.termination_scale = (
+            raw_scales.get("termination", 0.0) * self.dt if raw_scales.get("termination") else 0.0
+        )
+        self.all_reward_names = self.reward_names + (
+            ("termination",) if "termination" in raw_scales and raw_scales["termination"] != 0 else ()
+        )
+        for n in self.reward_names:
+            assert n in REWARDS, f"unknown reward {n!r}"
+
+        # --- observation noise vector (gr1t1.py:315-336) ---
+        self.noise_scale_vec = jnp.asarray(self._build_noise_vec())
+        self.commands_scale = jnp.asarray(
+            [
+                c.normalization.obs_scales.lin_vel,
+                c.normalization.obs_scales.lin_vel,
+                c.normalization.obs_scales.ang_vel,
+            ],
+            jnp.float32,
+        )
+
+        # layout check: computed obs width must match the config claim
+        assert self.obs_dim == c.env.num_obs, (self.obs_dim, c.env.num_obs)
+        if c.env.num_pri_obs is not None:
+            assert self.pri_obs_dim == c.env.num_pri_obs, (self.pri_obs_dim, c.env.num_pri_obs)
+
+        # --- env origins (legged_robot.py:1163-1195) ---
+        if terrain is not None:
+            self.custom_origins = True
+            self._origins_np = None  # sampled per env from terrain at init
+        else:
+            self.custom_origins = False
+            cols = int(np.floor(np.sqrt(self.num_envs)))
+            rows = int(np.ceil(self.num_envs / cols))
+            xx, yy = np.meshgrid(np.arange(rows), np.arange(cols), indexing="ij")
+            spacing = c.env.env_spacing
+            org = np.zeros((self.num_envs, 3), np.float32)
+            org[:, 0] = spacing * xx.flatten()[: self.num_envs]
+            org[:, 1] = spacing * yy.flatten()[: self.num_envs]
+            self._origins_np = org
+
+    # ------------------------------------------------------------------
+    # build helpers
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _match_by_name(table: dict, dof_name: str) -> float:
+        for key, val in table.items():
+            if key in dof_name:
+                return float(val)
+        raise KeyError(f"no action box for dof {dof_name!r}")
+
+    def _opt_frame(self, link_name):
+        try:
+            body, pos, quat = self.model.link_frame(link_name)
+            return (body, quat)
+        except KeyError:
+            return None
+
+    @property
+    def obs_dim(self) -> int:
+        return 3 + 3 + 3 + 3 * self.num_dof
+
+    @property
+    def pri_obs_dim(self) -> int:
+        return self.obs_dim + 3 + 1 + 2 * self.num_feet + self.num_height_points
+
+    def _build_noise_vec(self) -> np.ndarray:
+        c = self.cfg
+        ns, level = c.noise.noise_scales, c.noise.noise_level
+        os_ = c.normalization.obs_scales
+        v = np.zeros(self.obs_dim, np.float32)
+        v[0:3] = 0.0  # commands
+        v[3:6] = ns.ang_vel * level * os_.ang_vel
+        v[6:9] = ns.gravity * level * os_.gravity
+        d = self.num_dof
+        v[9 : 9 + d] = ns.dof_pos * level * os_.dof_pos
+        v[9 + d : 9 + 2 * d] = ns.dof_vel * level * os_.dof_vel
+        v[9 + 2 * d : 9 + 3 * d] = ns.action * level * os_.action
+        return v
+
+    # ------------------------------------------------------------------
+    # init / reset
+    # ------------------------------------------------------------------
+
+    def init_state(self, key: jax.Array) -> EnvState:
+        """Build the initial (all-envs-reset) state, sampling the one-time
+        per-env body randomizations (`legged_robot.py:538-648`)."""
+        c = self.cfg
+        n, d = self.num_envs, self.num_dof
+        keys = jax.random.split(key, 10)
+
+        dr = c.domain_rand
+        if dr.randomize_friction:
+            # 64-bucket friction exactly as legged_robot.py:550-563
+            buckets = maths.uniform(keys[0], dr.friction_range[0], dr.friction_range[1], (64,))
+            ids = jax.random.randint(keys[1], (n,), 0, 64)
+            friction = buckets[ids]
+        else:
+            friction = jnp.ones(n)
+        if dr.randomize_restitution:
+            buckets = maths.uniform(
+                keys[2], dr.restitution_range[0], dr.restitution_range[1], (64,)
+            )
+            ids = jax.random.randint(keys[3], (n,), 0, 64)
+            restitution = buckets[ids]
+        else:
+            restitution = jnp.zeros(n)
+        mass_scale = (
+            maths.uniform(keys[4], dr.multiply_base_mass_range[0], dr.multiply_base_mass_range[1], (n,))
+            if dr.randomize_base_mass
+            else jnp.ones(n)
+        )
+        com_offset = (
+            jnp.stack(
+                [
+                    maths.uniform(keys[5], dr.add_base_com_range_x[0], dr.add_base_com_range_x[1], (n,)),
+                    maths.uniform(keys[6], dr.add_base_com_range_y[0], dr.add_base_com_range_y[1], (n,)),
+                    maths.uniform(keys[7], dr.add_base_com_range_z[0], dr.add_base_com_range_z[1], (n,)),
+                ],
+                axis=-1,
+            )
+            if dr.randomize_base_com
+            else jnp.zeros((n, 3))
+        )
+        motor_strength = (
+            maths.uniform(keys[8], dr.multiply_motor_strength[0], dr.multiply_motor_strength[1], (n, d))
+            if dr.randomize_motor_strength
+            else jnp.ones((n, d))
+        )
+
+        if self.custom_origins:
+            origins, levels, types = self.terrain.sample_origins(keys[9], self.num_envs, c.terrain)
+        else:
+            origins = jnp.asarray(self._origins_np)
+            levels = jnp.zeros(n, jnp.int32)
+            types = jnp.zeros(n, jnp.int32)
+
+        zero_phys = PhysicsState(
+            base_pos=jnp.tile(jnp.asarray(c.init_state.pos, jnp.float32), (n, 1)) + origins,
+            base_quat=jnp.tile(jnp.asarray(c.init_state.rot, jnp.float32), (n, 1)),
+            base_lin_vel=jnp.zeros((n, 3)),
+            base_ang_vel=jnp.zeros((n, 3)),
+            q=jnp.tile(self.default_dof_pos, (n, 1)),
+            qd=jnp.zeros((n, d)),
+        )
+        state = EnvState(
+            physics=zero_phys,
+            rng=key,
+            episode_length=jnp.zeros(n, jnp.int32),
+            common_step=jnp.zeros((), jnp.int32),
+            commands=jnp.zeros((n, 3)),
+            actions=jnp.zeros((n, self.num_actions)),
+            last_actions=jnp.zeros((n, self.num_actions)),
+            last_last_actions=jnp.zeros((n, self.num_actions)),
+            last_dof_vel=jnp.zeros((n, d)),
+            torques=jnp.zeros((n, d)),
+            feet_air_time=jnp.zeros((n, self.num_feet)),
+            feet_land_time=jnp.zeros((n, self.num_feet)),
+            feet_contact_last=jnp.zeros((n, self.num_feet), bool),
+            episode_sums=jnp.zeros((n, len(self.all_reward_names))),
+            rand=BodyRandomization(
+                friction=friction,
+                restitution=restitution,
+                base_mass_scale=mass_scale,
+                base_com_offset=com_offset,
+            ),
+            motor_strength=motor_strength,
+            env_origins=origins,
+            terrain_levels=levels,
+            terrain_types=types,
+        )
+        # force a full reset of every env (BaseTask.reset, base_task.py:117-121)
+        done = jnp.ones(n, bool)
+        state = self._reset_where(state, done)
+        return state
+
+    # ------------------------------------------------------------------
+    # step
+    # ------------------------------------------------------------------
+
+    def clip_actions(self, actions: jax.Array) -> jax.Array:
+        """Per-joint action boxes (legged_robot_fftai.py:171-177)."""
+        return jnp.clip(actions, self.clip_actions_min, self.clip_actions_max)
+
+    def _pd_torques(self, q, qd, actions, motor_strength):
+        """PD torque law (legged_robot.py:679-715), P mode."""
+        c = self.cfg.control
+        scaled = actions * c.action_scale
+        if c.control_type == "P":
+            tau = self.p_gains * (scaled + self.default_dof_pos - q) - self.d_gains * qd
+        elif c.control_type == "T":
+            tau = scaled
+        else:
+            raise NotImplementedError(c.control_type)
+        tau = tau * motor_strength
+        return jnp.clip(tau, -self.torque_limits, self.torque_limits)
+
+    def step(self, state: EnvState, actions: jax.Array) -> Tuple[EnvState, StepOutput]:
+        c = self.cfg
+        n, f = self.num_envs, self.num_feet
+        key, k_delay, k_noise, k_cmd, k_reset, k_push = jax.random.split(state.rng, 6)
+
+        actions = self.clip_actions(actions)
+
+        # ---- decimation loop (fftai during_physics_step :51-88) ----
+        if c.control.actuation_delay:
+            delay = c.control.actuation_delay_mean + c.control.actuation_delay_std * (
+                jax.random.normal(k_delay, (n, 1))
+            )
+            delay = jnp.maximum(delay, 0.0)
+        else:
+            delay = jnp.zeros((n, 1))
+
+        def one_substep(phys, tau, rand):
+            return physics_step(
+                self.model, phys, tau, self.height_fn, self.contact_params, rand, self.sim_dt
+            )
+
+        vstep = jax.vmap(one_substep)
+        feet_masks = self.feet_point_masks  # (F, P)
+
+        def substep(carry, i):
+            phys, accum_force, accum_vxyz, accum_vrpy, _ = carry
+            use_act = jnp.where(i < delay, state.last_actions, actions)
+            tau = self._pd_torques(phys.q, phys.qd, use_act, state.motor_strength)
+            phys, out = vstep(phys, tau, state.rand)
+            # per-foot net force norm (N, F)
+            foot_force = jnp.einsum("fp,npk->nfk", feet_masks, out.point_force)
+            accum_force = accum_force + jnp.linalg.norm(foot_force, axis=-1)
+            # feet link velocities from body twists (rigid_body_states 7:13)
+            tw = out.kin.twist[:, jnp.asarray(self.feet_bodies, jnp.int32)]  # (N,F,6)
+            foot_rel = out.kin.pos_rel[:, jnp.asarray(self.feet_bodies, jnp.int32)]
+            v_lin = tw[..., 3:] + jnp.cross(tw[..., :3], foot_rel)
+            accum_vxyz = accum_vxyz + jnp.abs(v_lin)
+            accum_vrpy = accum_vrpy + jnp.abs(tw[..., :3])
+            return (phys, accum_force, accum_vxyz, accum_vrpy, (tau, out.point_force)), None
+
+        init = (
+            state.physics,
+            jnp.zeros((n, f)),
+            jnp.zeros((n, f, 3)),
+            jnp.zeros((n, f, 3)),
+            (state.torques, jnp.zeros((n, self.model.num_points, 3))),
+        )
+        (phys, sum_force, sum_vxyz, sum_vrpy, (torques, point_force)), _ = jax.lax.scan(
+            substep, init, jnp.arange(self.decimation, dtype=jnp.float32)
+        )
+        avg_feet_contact_force = sum_force / self.decimation
+        avg_feet_speed_xyz = sum_vxyz / self.decimation
+        avg_feet_speed_rpy = sum_vrpy / self.decimation
+        dof_acc = (phys.qd - state.last_dof_vel) / self.dt
+
+        # ---- post-physics (legged_robot.py:269-334 / fftai:90-133) ----
+        episode_length = state.episode_length + 1
+        common_step = state.common_step + 1
+
+        # command resampling on schedule (legged_robot.py:317-318)
+        resample = (episode_length % self.resample_interval) == 0
+        new_cmds = self._sample_commands(k_cmd, n)
+        commands = jnp.where(resample[:, None], new_cmds, state.commands)
+
+        # fresh kinematics for pose-derived quantities
+        kin = jax.vmap(forward_kinematics, in_axes=(None, 0, 0, 0, 0, 0))(
+            self.model, phys.base_quat, phys.base_ang_vel, phys.base_lin_vel, phys.q, phys.qd
+        )
+
+        base_quat = phys.base_quat
+        base_lin_vel = maths.quat_rotate_inverse(base_quat, phys.base_lin_vel)
+        base_ang_vel = maths.quat_rotate_inverse(base_quat, phys.base_ang_vel)
+        gravity_vec = jnp.asarray([0.0, 0.0, -1.0])
+        projected_gravity = maths.quat_rotate_inverse(base_quat, jnp.broadcast_to(gravity_vec, (n, 3)))
+
+        # measured terrain heights around the base (legged_robot.py:1235-1274)
+        measured_heights = self._measured_heights(phys, base_quat)  # (N, H)
+        mean_heights = jnp.mean(measured_heights, axis=1)
+
+        hscale = c.normalization.obs_scales.height_measurements
+        target_h = c.rewards.base_height_target
+        base_heights_offset = (
+            jnp.mean(
+                jnp.clip(phys.base_pos[:, 2:3] - target_h - measured_heights, -1.0, 1.0) * hscale,
+                axis=1,
+            )
+        )
+        surround_heights_offset = (
+            jnp.clip(phys.base_pos[:, 2:3] - target_h - measured_heights, -1.0, 1.0) * hscale
+        )
+
+        # feet quantities
+        fb = jnp.asarray(self.feet_bodies, jnp.int32)
+        feet_pos = phys.base_pos[:, None, :] + kin.pos_rel[:, fb] + maths.quat_apply(
+            kin.quat[:, fb], jnp.broadcast_to(self.feet_offsets, (n, f, 3))
+        )
+        feet_height = feet_pos[..., 2] - mean_heights[:, None]  # (N, F)
+        feet_force = jnp.einsum("fp,npk->nfk", self.feet_point_masks, point_force)  # (N,F,3)
+
+        # air/land trackers (fftai:108-133)
+        feet_contact = feet_force[..., 2] > 1.0
+        contact_filt = feet_contact | state.feet_contact_last
+        feet_first_contact = (state.feet_air_time > 0) & contact_filt
+        feet_air_time = state.feet_air_time + self.dt
+        feet_land_time = (state.feet_land_time + self.dt) * feet_contact
+
+        # termination (legged_robot.py:336-353): per-link contact force > 1
+        if self.termination_links:
+            term_force = jnp.einsum("lp,npk->nlk", self.termination_masks, point_force)
+            term_contact = jnp.any(jnp.linalg.norm(term_force, axis=-1) > 1.0, axis=1)
+        else:
+            term_contact = jnp.zeros(n, bool)
+        tilt = jnp.abs(projected_gravity[:, 2]) < 0.33
+        time_out = episode_length > self.max_episode_length
+        reset_buf = term_contact | tilt | time_out
+
+        if self.penalized_links:
+            pen_force = jnp.einsum("lp,npk->nlk", self.penalized_masks, point_force)
+            pen_count = jnp.sum(
+                (jnp.linalg.norm(pen_force, axis=-1) > 0.1).astype(jnp.float32), axis=1
+            )
+        else:
+            pen_count = jnp.zeros(n)
+
+        # torso/forehead orientation channels
+        torso_pg = self._frame_projected_gravity(self.torso_frame, kin, n, projected_gravity)
+        forehead_pg = self._frame_projected_gravity(self.forehead_frame, kin, n, projected_gravity)
+
+        ctx = RewardContext(
+            commands=commands,
+            base_lin_vel=base_lin_vel,
+            base_ang_vel=base_ang_vel,
+            base_projected_gravity=projected_gravity,
+            base_heights_offset=base_heights_offset,
+            torso_projected_gravity=torso_pg,
+            forehead_projected_gravity=forehead_pg,
+            dof_pos=phys.q,
+            dof_vel=phys.qd,
+            dof_acc=dof_acc,
+            torques=torques,
+            actions=actions,
+            last_actions=state.last_actions,
+            last_last_actions=state.last_last_actions,
+            feet_contact=feet_contact,
+            feet_first_contact=feet_first_contact.astype(jnp.float32),
+            feet_air_time=feet_air_time,
+            feet_land_time=feet_land_time,
+            feet_height=feet_height,
+            feet_contact_force=feet_force,
+            avg_feet_contact_force=avg_feet_contact_force,
+            avg_feet_speed_xyz=avg_feet_speed_xyz,
+            penalized_contact_count=pen_count,
+            reset_buf=reset_buf,
+            time_out_buf=time_out,
+        )
+
+        # ---- rewards (legged_robot.py:355-375) ----
+        rew_buf = jnp.zeros(n)
+        episode_sums = state.episode_sums
+        for i, name in enumerate(self.reward_names):
+            r = REWARDS[name](self, ctx) * self.reward_scales[name]
+            rew_buf = rew_buf + r
+            episode_sums = episode_sums.at[:, i].add(r)
+        if c.rewards.only_positive_rewards:
+            rew_buf = jnp.clip(rew_buf, a_min=0.0)
+        if self.termination_scale:
+            r = REWARDS["termination"](self, ctx) * self.termination_scale
+            rew_buf = rew_buf + r
+            episode_sums = episode_sums.at[:, len(self.reward_names)].add(r)
+
+        # ---- episode logging before the sums are cleared ----
+        done_f = reset_buf.astype(jnp.float32)
+        cnt = jnp.maximum(jnp.sum(done_f), 1.0)
+        episode_metrics = {
+            "rew_" + name: jnp.sum(episode_sums[:, i] * done_f) / cnt / self.max_episode_length_s
+            for i, name in enumerate(self.all_reward_names)
+        }
+        extras = {
+            "time_outs": time_out,
+            "episode": episode_metrics,
+            "done_count": jnp.sum(done_f),
+        }
+
+        # random pushes (legged_robot.py:786-797): all envs, via base velocity.
+        # Applied after obs/reward quantities are derived — in the reference
+        # the pushed velocity is uploaded after base_lin_vel was computed, so
+        # it only becomes visible the following step.
+        if c.domain_rand.push_robots:
+            do_push = (common_step % self.push_interval) == 0
+            push_vel = maths.uniform(
+                k_push, -c.domain_rand.max_push_vel_xy, c.domain_rand.max_push_vel_xy, (n, 2)
+            )
+            lin_vel = jnp.where(
+                do_push, phys.base_lin_vel.at[:, :2].set(push_vel), phys.base_lin_vel
+            )
+            phys = phys.replace(base_lin_vel=lin_vel)
+
+        # ---- state writeback + branchless resets ----
+        state = state.replace(
+            physics=phys,
+            rng=key,
+            episode_length=episode_length,
+            common_step=common_step,
+            commands=commands,
+            actions=actions,
+            torques=torques,
+            episode_sums=episode_sums,
+            feet_air_time=feet_air_time,
+            feet_land_time=feet_land_time,
+        )
+        state = self._reset_where(state, reset_buf, key=k_reset)
+
+        # record "last" values (legged_robot.py:299-300 + fftai:94-97);
+        # reset envs keep zeros from _reset_where
+        not_done = ~reset_buf
+        nd1 = not_done[:, None].astype(jnp.float32)
+        state = state.replace(
+            last_actions=state.actions * nd1,
+            last_last_actions=state.actions * nd1,  # faithful to fftai:94
+            last_dof_vel=state.physics.qd * nd1,
+            feet_air_time=state.feet_air_time * (~contact_filt) * nd1,
+            feet_contact_last=feet_contact & not_done[:, None],
+        )
+
+        # ---- observations from the post-reset state ----
+        obs, pri_obs = self._observations(
+            state, k_noise, commands=state.commands, measured_cache=(
+                measured_heights, base_heights_offset, surround_heights_offset,
+                feet_contact, feet_height, base_lin_vel, base_ang_vel, projected_gravity,
+            ),
+            reset_buf=reset_buf,
+        )
+
+        return state, StepOutput(obs=obs, pri_obs=pri_obs, rew=rew_buf, reset=reset_buf, extras=extras)
+
+    # ------------------------------------------------------------------
+    # helpers used by step
+    # ------------------------------------------------------------------
+
+    def _frame_projected_gravity(self, frame, kin, n, fallback):
+        """Projected gravity in a named (possibly welded) link frame
+        (gr1t1.py:340-360)."""
+        if frame is None:
+            return fallback
+        body, quat_off = frame
+        g = jnp.asarray([0.0, 0.0, -1.0])
+        link_quat = maths.quat_mul(kin.quat[:, body], jnp.broadcast_to(quat_off, (n, 4)))
+        return maths.quat_rotate_inverse(link_quat, jnp.broadcast_to(g, (n, 3)))
+
+    def _sample_commands(self, key, n):
+        """Uniform command resampling (legged_robot.py:650-677); small
+        commands snap to zero."""
+        r = self.cfg.commands.ranges
+        k1, k2, k3 = jax.random.split(key, 3)
+        cx = maths.uniform(k1, r.lin_vel_x[0], r.lin_vel_x[1], (n,))
+        cy = maths.uniform(k2, r.lin_vel_y[0], r.lin_vel_y[1], (n,))
+        cyaw = maths.uniform(k3, r.ang_vel_yaw[0], r.ang_vel_yaw[1], (n,))
+        cmds = jnp.stack([cx, cy, cyaw], axis=-1)
+        keep = (jnp.linalg.norm(cmds[:, :2], axis=1) > 0.1)[:, None]
+        return cmds.at[:, :2].multiply(keep.astype(jnp.float32))
+
+    def _measured_heights(self, phys, base_quat):
+        """Terrain heights at the yaw-rotated measurement grid
+        (legged_robot.py:1235-1274); plane terrain -> zeros."""
+        n = self.num_envs
+        if self.terrain is None:
+            return jnp.zeros((n, self.num_height_points))
+        pts = jnp.concatenate(
+            [self.height_points, jnp.zeros((self.num_height_points, 1))], axis=-1
+        )
+        world = maths.quat_apply_yaw(
+            base_quat[:, None, :], jnp.broadcast_to(pts, (n, self.num_height_points, 3))
+        ) + phys.base_pos[:, None, :]
+        return self.terrain.measured_heights(world[..., 0], world[..., 1])
+
+    def _reset_where(self, state: EnvState, done: jax.Array, key=None) -> EnvState:
+        """Branchless reset of done envs (legged_robot.py:377-440 semantics,
+        minus host-side indexed setters)."""
+        c = self.cfg
+        n, d = self.num_envs, self.num_dof
+        if key is None:
+            key = state.rng
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+
+        # dof state (legged_robot.py:717-740)
+        if c.domain_rand.randomize_init_dof_pos:
+            q_new = maths.uniform(k1, 0.5, 1.5, (n, d)) * self.default_dof_pos
+        else:
+            q_new = jnp.tile(self.default_dof_pos, (n, 1))
+
+        # root state (legged_robot.py:742-784)
+        pos_new = jnp.asarray(c.init_state.pos, jnp.float32) + state.env_origins
+        if self.custom_origins:
+            pos_new = pos_new.at[:, :2].add(maths.uniform(k2, -1.0, 1.0, (n, 2)))
+        yaw = maths.uniform(k3, -2 * np.pi, 2 * np.pi, (n,))
+        quat_new = maths.quat_from_euler_xyz(jnp.zeros(n), jnp.zeros(n), yaw)
+        if c.domain_rand.randomize_init_base_velocity:
+            vel6 = maths.uniform(k4, -0.5, 0.5, (n, 6))
+        else:
+            vel6 = jnp.zeros((n, 6))
+
+        cmds_new = self._sample_commands(k5, n)
+
+        m = done
+        m1 = m[:, None]
+
+        def w(new, old):
+            return jnp.where(jnp.reshape(m, m.shape + (1,) * (old.ndim - 1)), new, old)
+
+        phys = state.physics
+        phys = PhysicsState(
+            base_pos=w(pos_new, phys.base_pos),
+            base_quat=w(quat_new, phys.base_quat),
+            base_lin_vel=w(vel6[:, :3], phys.base_lin_vel),
+            base_ang_vel=w(vel6[:, 3:], phys.base_ang_vel),
+            q=w(q_new, phys.q),
+            qd=w(jnp.zeros((n, d)), phys.qd),
+        )
+        zeros_a = jnp.zeros((n, self.num_actions))
+        return state.replace(
+            physics=phys,
+            commands=jnp.where(m1, cmds_new, state.commands),
+            last_actions=jnp.where(m1, zeros_a, state.last_actions),
+            last_last_actions=jnp.where(m1, zeros_a, state.last_last_actions),
+            last_dof_vel=jnp.where(m1, jnp.zeros((n, d)), state.last_dof_vel),
+            feet_air_time=jnp.where(m1, 0.0, state.feet_air_time),
+            feet_land_time=jnp.where(m1, 0.0, state.feet_land_time),
+            feet_contact_last=jnp.where(m1, False, state.feet_contact_last),
+            episode_length=jnp.where(m, 0, state.episode_length),
+            episode_sums=jnp.where(m1, 0.0, state.episode_sums),
+        )
+
+    def _observations(self, state, k_noise, commands, measured_cache, reset_buf):
+        """Observation profiles (gr1t1.py:281-336). Recomputes base-frame
+        quantities for envs that were just reset."""
+        c = self.cfg
+        n = self.num_envs
+        (mh, bho, sho, feet_contact, feet_height, blv, bav, pg) = measured_cache
+
+        # recompute derived quantities for reset envs from the merged state
+        phys = state.physics
+        blv2 = maths.quat_rotate_inverse(phys.base_quat, phys.base_lin_vel)
+        bav2 = maths.quat_rotate_inverse(phys.base_quat, phys.base_ang_vel)
+        g = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]), (n, 3))
+        pg2 = maths.quat_rotate_inverse(phys.base_quat, g)
+        r1 = reset_buf[:, None]
+        blv = jnp.where(r1, blv2, blv)
+        bav = jnp.where(r1, bav2, bav)
+        pg = jnp.where(r1, pg2, pg)
+
+        os_ = c.normalization.obs_scales
+        dof_pos_offset = phys.q - self.default_dof_pos
+        obs = jnp.concatenate(
+            [
+                commands * self.commands_scale,
+                bav * os_.ang_vel,
+                pg * os_.gravity,
+                dof_pos_offset * os_.dof_pos,
+                phys.qd * os_.dof_vel,
+                state.actions * os_.action,
+            ],
+            axis=-1,
+        )
+        pri_obs = jnp.concatenate(
+            [
+                obs,
+                blv * os_.lin_vel,
+                bho[:, None] * os_.height_measurements,
+                feet_contact.astype(jnp.float32),
+                feet_height * os_.height_measurements,
+                sho * os_.height_measurements,
+            ],
+            axis=-1,
+        )
+        if c.noise.add_noise:
+            noise = (2.0 * jax.random.uniform(k_noise, obs.shape) - 1.0) * self.noise_scale_vec
+            obs = obs + noise
+        clip = c.normalization.clip_observations
+        return jnp.clip(obs, -clip, clip), jnp.clip(pri_obs, -clip, clip)
+
+    # ------------------------------------------------------------------
+    # VecEnv-protocol conveniences (rsl_rl/env/vec_env.py:7-40)
+    # ------------------------------------------------------------------
+
+    def reset(self, state: EnvState) -> Tuple[EnvState, StepOutput]:
+        """Reset all envs then step zero actions (base_task.py:117-121)."""
+        n = self.num_envs
+        state = self._reset_where(state, jnp.ones(n, bool))
+        return self.step(state, jnp.zeros((n, self.num_actions)))

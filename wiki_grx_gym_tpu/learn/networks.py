@@ -1,0 +1,139 @@
+"""Actor-critic MLP in pure JAX pytrees.
+
+Mirrors `rsl_rl/modules/actor_critic_mlp.py` + `modules/mlp.py:7-42`:
+separate actor/critic MLP stacks, ELU activations, and a **learnable per-dim
+std parameter** (raw std, not log-std — `actor_critic_mlp.py:82-83`), with
+torch-default Linear initialization so learning dynamics are comparable.
+
+The policy is a 3-layer MLP ([512, 256, 128], `gr1t1_config.py:338-339`);
+matmuls are batched (num_envs x width) — MXU work under jit.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+_LOG_2PI = float(np.log(2.0 * np.pi))
+
+
+def get_activation(name: str) -> Callable:
+    """Mirror of rsl_rl utils get_activation (`rsl_rl/utils/utils.py:231-256`)."""
+    table = {
+        "elu": jax.nn.elu,
+        "relu": jax.nn.relu,
+        "selu": jax.nn.selu,
+        "crelu": lambda x: jnp.concatenate([jax.nn.relu(x), jax.nn.relu(-x)], axis=-1),
+        "lrelu": jax.nn.leaky_relu,
+        "tanh": jnp.tanh,
+        "sigmoid": jax.nn.sigmoid,
+        None: lambda x: x,
+        "none": lambda x: x,
+    }
+    return table[name]
+
+
+def _torch_linear_init(key, fan_in: int, fan_out: int):
+    """torch.nn.Linear default init: kaiming-uniform(a=sqrt(5)) for W,
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for b."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / np.sqrt(fan_in)
+    w = jax.random.uniform(kw, (fan_in, fan_out), minval=-bound, maxval=bound)
+    b = jax.random.uniform(kb, (fan_out,), minval=-bound, maxval=bound)
+    return w, b
+
+
+def init_mlp(key, in_dim: int, hidden: Sequence[int], out_dim: int) -> List[Tuple[jax.Array, jax.Array]]:
+    dims = [in_dim] + list(hidden) + [out_dim]
+    keys = jax.random.split(key, len(dims) - 1)
+    return [
+        _torch_linear_init(k, dims[i], dims[i + 1]) for i, k in enumerate(keys)
+    ]
+
+
+def apply_mlp(params, x, activation: Callable, out_activation: Callable = None):
+    for w, b in params[:-1]:
+        x = activation(x @ w + b)
+    w, b = params[-1]
+    x = x @ w + b
+    if out_activation is not None:
+        x = out_activation(x)
+    return x
+
+
+@struct.dataclass
+class ActorCriticParams:
+    actor: list
+    critic: list
+    std: jax.Array   # (A,) raw per-dim std (actor_critic_mlp.py:82-83)
+
+
+class ActorCritic:
+    """Static network spec + pure apply functions."""
+
+    def __init__(self, num_actor_input, num_critic_input, num_actions, policy_cfg):
+        self.num_actor_input = num_actor_input
+        self.num_critic_input = num_critic_input
+        self.num_actions = num_actions
+        self.actor_hidden = list(policy_cfg.actor_hidden_dims)
+        self.critic_hidden = list(policy_cfg.critic_hidden_dims)
+        self.activation = get_activation(policy_cfg.activation)
+        self.actor_out_act = (
+            get_activation(policy_cfg.actor_output_activation)
+            if policy_cfg.actor_output_activation
+            else None
+        )
+        self.critic_out_act = (
+            get_activation(policy_cfg.critic_output_activation)
+            if policy_cfg.critic_output_activation
+            else None
+        )
+        self.fixed_std = bool(policy_cfg.fixed_std)
+        self.init_noise_std = float(policy_cfg.init_noise_std)
+
+    def init(self, key) -> ActorCriticParams:
+        ka, kc = jax.random.split(key)
+        return ActorCriticParams(
+            actor=init_mlp(ka, self.num_actor_input, self.actor_hidden, self.num_actions),
+            critic=init_mlp(kc, self.num_critic_input, self.critic_hidden, 1),
+            std=self.init_noise_std * jnp.ones(self.num_actions),
+        )
+
+    # ---- distribution ops (actor_critic_mlp.py:165-217) ----
+
+    def action_mean(self, params: ActorCriticParams, obs):
+        return apply_mlp(params.actor, obs, self.activation, self.actor_out_act)
+
+    def std(self, params: ActorCriticParams):
+        if self.fixed_std:
+            return jnp.full((self.num_actions,), self.init_noise_std)
+        return params.std
+
+    def act(self, params: ActorCriticParams, obs, key):
+        """Sample actions; returns (actions, log_prob, mean, std)."""
+        mean = self.action_mean(params, obs)
+        std = jnp.broadcast_to(self.std(params), mean.shape)
+        actions = mean + std * jax.random.normal(key, mean.shape)
+        logp = self.log_prob(mean, std, actions)
+        return actions, logp, mean, std
+
+    @staticmethod
+    def log_prob(mean, std, actions):
+        var = jnp.square(std)
+        lp = -0.5 * (jnp.square(actions - mean) / var + _LOG_2PI) - jnp.log(std)
+        return jnp.sum(lp, axis=-1)
+
+    @staticmethod
+    def entropy(std):
+        return jnp.sum(0.5 + 0.5 * _LOG_2PI + jnp.log(std), axis=-1)
+
+    def act_inference(self, params: ActorCriticParams, obs):
+        return self.action_mean(params, obs)
+
+    def evaluate(self, params: ActorCriticParams, critic_obs):
+        v = apply_mlp(params.critic, critic_obs, self.activation, self.critic_out_act)
+        return jnp.squeeze(v, axis=-1)
