@@ -169,14 +169,14 @@ def forward_dynamics(
     c_full = bias_forces(model, kin, qd, inertia6, w_total)
     m_full = mass_matrix(model, kin, inertia6)
 
+    from wiki_grx_gym_tpu.ops.linalg import spd_solve
+
     if fixed_base:
         m_jj = m_full[6:, 6:] + _RIDGE * jnp.eye(nd, dtype=qd.dtype)
-        chol = jax.scipy.linalg.cho_factor(m_jj, lower=True)
-        qdd = jax.scipy.linalg.cho_solve(chol, tau - c_full[6:])
+        qdd = spd_solve(m_jj, tau - c_full[6:])
         return ForwardDynamics(base_acc=jnp.zeros(6, qd.dtype), qdd=qdd, inertia6=inertia6)
 
     m_full = m_full + _RIDGE * jnp.eye(6 + nd, dtype=qd.dtype)
     rhs = jnp.concatenate([jnp.zeros(6, qd.dtype), tau]) - c_full
-    chol = jax.scipy.linalg.cho_factor(m_full, lower=True)
-    x = jax.scipy.linalg.cho_solve(chol, rhs)
+    x = spd_solve(m_full, rhs)
     return ForwardDynamics(base_acc=x[:6], qdd=x[6:], inertia6=inertia6)
