@@ -1,0 +1,150 @@
+"""Terrain generator + composer tests (mirroring the behavior of
+`isaacgym/terrain_utils.py` and `legged_gym/utils/terrain.py`)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wiki_grx_gym_tpu.terrain import generators as G
+from wiki_grx_gym_tpu.terrain.composer import Terrain
+from wiki_grx_gym_tpu.envs import task_registry
+
+
+def patch():
+    return G.SubTerrain(width=80, length=80)
+
+
+def test_sloped_terrain():
+    t = G.sloped_terrain(patch(), slope=0.2)
+    # monotone along x, flat along y
+    h = t.height_field_raw
+    assert np.all(np.diff(h[:, 0]) >= 0)
+    assert np.all(h[:, 0] == h[:, -1])
+    # total rise = slope * extent
+    rise = h[-1, 0] * 0.005
+    assert rise == pytest.approx(0.2 * 8.0, rel=0.1)
+
+
+def test_pyramid_sloped_has_flat_platform():
+    t = G.pyramid_sloped_terrain(patch(), slope=0.3, platform_size=3.0)
+    h = t.height_field_raw
+    c = 40
+    assert h[c, c] == h.max()
+    # center 3m platform flat
+    assert np.all(h[c - 10 : c + 10, c - 10 : c + 10] == h[c, c])
+
+
+def test_stairs_terrain_steps():
+    t = G.stairs_terrain(patch(), step_width=0.31, step_height=0.1)
+    h = t.height_field_raw
+    uniq = np.unique(h[:78, 0])
+    assert len(uniq) >= 20  # many distinct step levels
+    assert np.all(np.diff(h[:78, 0]) >= 0)  # trailing remainder rows stay 0
+
+
+def test_pyramid_stairs():
+    t = G.pyramid_stairs_terrain(patch(), step_width=0.31, step_height=0.1, platform_size=3.0)
+    h = t.height_field_raw
+    assert h[40, 40] == h.max()
+    assert h[0, 0] == 0
+
+
+def test_random_uniform_bounds():
+    t = G.random_uniform_terrain(
+        patch(), min_height=-0.05, max_height=0.05, step=0.005, downsampled_scale=0.2,
+        rng=np.random.RandomState(0),
+    )
+    h = t.height_field_raw * 0.005
+    assert h.min() >= -0.051 and h.max() <= 0.051
+    assert h.std() > 0.005
+
+
+def test_stepping_stones_has_holes_and_platform():
+    t = G.stepping_stones_terrain(
+        patch(), stone_size=0.8, stone_distance=0.3, max_height=0.0, platform_size=4.0,
+        rng=np.random.RandomState(1),
+    )
+    h = t.height_field_raw * 0.005
+    assert h.min() <= -9.0  # deep holes
+    assert np.all(h[21:59, 21:59][19:21, 19:21] == 0)  # center platform
+
+
+def test_gap_and_pit():
+    t = G.gap_terrain(patch(), gap_size=0.8, platform_size=3.0)
+    assert t.height_field_raw.min() == -1000
+    assert t.height_field_raw[40, 40] == 0
+    t2 = G.pit_terrain(patch(), depth=0.5, platform_size=4.0)
+    assert t2.height_field_raw[40, 40] == int(-0.5 / 0.005)
+
+
+@pytest.fixture(scope="module")
+def small_terrain_cfg():
+    env_cfg, _ = task_registry.get_cfgs("GR1T1")
+    tc = env_cfg.terrain
+    tc.mesh_type = "heightfield"
+    tc.num_rows = 3
+    tc.num_cols = 4
+    tc.border_size = 5
+    tc.curriculum = True
+    return env_cfg
+
+
+def test_composer_grid(small_terrain_cfg):
+    terrain = Terrain(small_terrain_cfg.terrain, rng=np.random.RandomState(0))
+    assert terrain.height_field_raw.shape == (3 * 80 + 100, 4 * 80 + 100)
+    assert terrain.env_origins_grid.shape == (3, 4, 3)
+    # origins at cell centers
+    np.testing.assert_allclose(terrain.env_origins_grid[0, 0, :2], [4.0, 4.0])
+    np.testing.assert_allclose(terrain.env_origins_grid[2, 3, :2], [20.0, 28.0])
+
+
+def test_composer_lookups(small_terrain_cfg):
+    terrain = Terrain(small_terrain_cfg.terrain, rng=np.random.RandomState(0))
+    x = jnp.asarray([4.0, 20.0])
+    y = jnp.asarray([4.0, 28.0])
+    h_b = terrain.height_fn(x, y)
+    h_m = terrain.measured_heights(x, y)
+    assert h_b.shape == (2,) and h_m.shape == (2,)
+    # min-sample is conservative: <= bilinear + one pixel of slack
+    assert np.all(np.asarray(h_m) <= np.asarray(h_b) + 0.06)
+    # origin z equals max height of central 2x2m
+    oz = terrain.env_origins_grid[0, 0, 2]
+    assert np.isfinite(oz)
+
+
+def test_rough_terrain_env_steps(small_terrain_cfg):
+    """GR1T1 on curriculum heightfield: env builds, steps, measures heights."""
+    cfg = small_terrain_cfg
+    cfg.env.num_envs = 4
+    cfg.terrain.measure_heights = True
+    env, _ = task_registry.make_env("GR1T1", env_cfg=cfg)
+    state = env.init_state(jax.random.PRNGKey(0))
+    # origins follow the terrain grid (down-stairs cells go deeply negative)
+    assert bool(jnp.all(jnp.isfinite(state.env_origins)))
+    assert bool(jnp.all(state.env_origins[:, 2] > -3.0))
+    step = jax.jit(env.step)
+    for _ in range(5):
+        state, out = step(state, jnp.zeros((4, 10)))
+    assert bool(jnp.all(jnp.isfinite(out.obs)))
+    assert bool(jnp.all(jnp.isfinite(out.pri_obs)))
+    # surround heights channel is alive (last 121 entries of pri obs)
+    assert out.pri_obs.shape == (4, 168)
+
+
+def test_terrain_curriculum_moves_levels(small_terrain_cfg):
+    cfg = small_terrain_cfg
+    cfg.env.num_envs = 4
+    env, _ = task_registry.make_env("GR1T1", env_cfg=cfg)
+    state = env.init_state(jax.random.PRNGKey(0))
+    # walk the robots past half the terrain length -> must move up a level
+    phys = state.physics.replace(
+        base_pos=state.physics.base_pos.at[:, 0].add(env.terrain.env_length)
+    )
+    state = state.replace(
+        physics=phys, terrain_levels=jnp.zeros(4, jnp.int32), commands=jnp.ones((4, 3))
+    )
+    new = env._reset_where(
+        state, jnp.ones(4, bool), key=jax.random.PRNGKey(1), update_curriculum=True
+    )
+    assert bool(jnp.all(new.terrain_levels == 1))

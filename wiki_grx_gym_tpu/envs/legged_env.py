@@ -72,6 +72,7 @@ class EnvState:
     env_origins: jax.Array           # (N, 3)
     terrain_levels: jax.Array        # (N,) int32 (terrain curriculum)
     terrain_types: jax.Array         # (N,) int32
+    cmd_lin_vel_x_range: jax.Array   # (2,) command-curriculum state
 
 
 class StepOutput(NamedTuple):
@@ -393,10 +394,13 @@ class LeggedEnv:
             env_origins=origins,
             terrain_levels=levels,
             terrain_types=types,
+            cmd_lin_vel_x_range=jnp.asarray(c.commands.ranges.lin_vel_x, jnp.float32),
         )
-        # force a full reset of every env (BaseTask.reset, base_task.py:117-121)
+        # force a full reset of every env (BaseTask.reset, base_task.py:117-121);
+        # curricula do not advance on the initial reset (init_done guard,
+        # legged_robot.py:806-808)
         done = jnp.ones(n, bool)
-        state = self._reset_where(state, done)
+        state = self._reset_where(state, done, update_curriculum=False)
         return state
 
     # ------------------------------------------------------------------
@@ -481,7 +485,7 @@ class LeggedEnv:
 
         # command resampling on schedule (legged_robot.py:317-318)
         resample = (episode_length % self.resample_interval) == 0
-        new_cmds = self._sample_commands(k_cmd, n)
+        new_cmds = self._sample_commands(k_cmd, n, state.cmd_lin_vel_x_range)
         commands = jnp.where(resample[:, None], new_cmds, state.commands)
 
         # fresh kinematics for pose-derived quantities
@@ -597,6 +601,11 @@ class LeggedEnv:
             "rew_" + name: jnp.sum(episode_sums[:, i] * done_f) / cnt / self.max_episode_length_s
             for i, name in enumerate(self.all_reward_names)
         }
+        # curriculum telemetry (legged_robot.py:426-436)
+        if self.custom_origins and c.terrain.curriculum:
+            episode_metrics["terrain_level"] = jnp.mean(state.terrain_levels.astype(jnp.float32))
+        if c.commands.curriculum:
+            episode_metrics["max_command_x"] = state.cmd_lin_vel_x_range[1]
         extras = {
             "time_outs": time_out,
             "episode": episode_metrics,
@@ -630,7 +639,7 @@ class LeggedEnv:
             feet_air_time=feet_air_time,
             feet_land_time=feet_land_time,
         )
-        state = self._reset_where(state, reset_buf, key=k_reset)
+        state = self._reset_where(state, reset_buf, key=k_reset, update_curriculum=True)
 
         # record "last" values (legged_robot.py:299-300 + fftai:94-97);
         # reset envs keep zeros from _reset_where
@@ -669,12 +678,14 @@ class LeggedEnv:
         link_quat = maths.quat_mul(kin.quat[:, body], jnp.broadcast_to(quat_off, (n, 4)))
         return maths.quat_rotate_inverse(link_quat, jnp.broadcast_to(g, (n, 3)))
 
-    def _sample_commands(self, key, n):
+    def _sample_commands(self, key, n, x_range=None):
         """Uniform command resampling (legged_robot.py:650-677); small
-        commands snap to zero."""
+        commands snap to zero. ``x_range`` carries command-curriculum state."""
         r = self.cfg.commands.ranges
+        if x_range is None:
+            x_range = jnp.asarray(r.lin_vel_x, jnp.float32)
         k1, k2, k3 = jax.random.split(key, 3)
-        cx = maths.uniform(k1, r.lin_vel_x[0], r.lin_vel_x[1], (n,))
+        cx = jax.random.uniform(k1, (n,), minval=x_range[0], maxval=x_range[1])
         cy = maths.uniform(k2, r.lin_vel_y[0], r.lin_vel_y[1], (n,))
         cyaw = maths.uniform(k3, r.ang_vel_yaw[0], r.ang_vel_yaw[1], (n,))
         cmds = jnp.stack([cx, cy, cyaw], axis=-1)
@@ -695,14 +706,57 @@ class LeggedEnv:
         ) + phys.base_pos[:, None, :]
         return self.terrain.measured_heights(world[..., 0], world[..., 1])
 
-    def _reset_where(self, state: EnvState, done: jax.Array, key=None) -> EnvState:
+    def _reset_where(
+        self, state: EnvState, done: jax.Array, key=None, update_curriculum: bool = False
+    ) -> EnvState:
         """Branchless reset of done envs (legged_robot.py:377-440 semantics,
-        minus host-side indexed setters)."""
+        minus host-side indexed setters). Curricula advance only on
+        mid-training resets."""
         c = self.cfg
         n, d = self.num_envs, self.num_dof
         if key is None:
             key = state.rng
-        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+
+        # terrain curriculum (legged_robot.py:799-826)
+        if update_curriculum and self.custom_origins and c.terrain.curriculum:
+            dist = jnp.linalg.norm(
+                state.physics.base_pos[:, :2] - state.env_origins[:, :2], axis=1
+            )
+            move_up = dist > self.terrain.env_length / 2
+            move_down = (
+                dist
+                < jnp.linalg.norm(state.commands[:, :2], axis=1)
+                * self.max_episode_length_s
+                * 0.5
+            ) & ~move_up
+            levels = state.terrain_levels + move_up.astype(jnp.int32) - move_down.astype(jnp.int32)
+            max_level = c.terrain.num_rows
+            rand_level = jax.random.randint(k6, (n,), 0, max_level, jnp.int32)
+            levels = jnp.where(levels >= max_level, rand_level, jnp.clip(levels, 0))
+            levels = jnp.where(done, levels, state.terrain_levels)
+            origins = self.terrain.terrain_origins[levels, state.terrain_types]
+            state = state.replace(terrain_levels=levels, env_origins=origins)
+
+        # command curriculum (legged_robot.py:828-837): widen lin_vel_x when
+        # the tracking reward of the resetting envs clears 80% of its max
+        if (
+            update_curriculum
+            and c.commands.curriculum
+            and "tracking_lin_vel" in self.reward_names
+        ):
+            i = self.reward_names.index("tracking_lin_vel")
+            cnt = jnp.maximum(jnp.sum(done.astype(jnp.float32)), 1.0)
+            mean_track = jnp.sum(state.episode_sums[:, i] * done) / cnt / self.max_episode_length
+            grow = mean_track > 0.8 * self.reward_scales["tracking_lin_vel"]
+            lo, hi = state.cmd_lin_vel_x_range[0], state.cmd_lin_vel_x_range[1]
+            mx = c.commands.max_curriculum
+            new_range = jnp.stack(
+                [jnp.clip(lo - 0.5, -mx, 0.0), jnp.clip(hi + 0.5, 0.0, mx)]
+            )
+            state = state.replace(
+                cmd_lin_vel_x_range=jnp.where(grow, new_range, state.cmd_lin_vel_x_range)
+            )
 
         # dof state (legged_robot.py:717-740)
         if c.domain_rand.randomize_init_dof_pos:
@@ -721,7 +775,7 @@ class LeggedEnv:
         else:
             vel6 = jnp.zeros((n, 6))
 
-        cmds_new = self._sample_commands(k5, n)
+        cmds_new = self._sample_commands(k5, n, state.cmd_lin_vel_x_range)
 
         m = done
         m1 = m[:, None]
