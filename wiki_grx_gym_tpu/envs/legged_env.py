@@ -538,7 +538,16 @@ class LeggedEnv:
             term_contact = jnp.zeros(n, bool)
         tilt = jnp.abs(projected_gravity[:, 2]) < 0.33
         time_out = episode_length > self.max_episode_length
-        reset_buf = term_contact | tilt | time_out
+        # non-finite safety net: a numerically exploded env resets like a
+        # fallen one (the jax-native guardrail SURVEY.md §5 calls for; PhysX
+        # recovers such envs through its own clamping)
+        bad = ~(
+            jnp.all(jnp.isfinite(phys.base_pos), axis=1)
+            & jnp.all(jnp.isfinite(phys.base_quat), axis=1)
+            & jnp.all(jnp.isfinite(phys.q), axis=1)
+            & jnp.all(jnp.isfinite(phys.qd), axis=1)
+        )
+        reset_buf = term_contact | tilt | time_out | bad
 
         if self.penalized_links:
             pen_force = jnp.einsum("lp,npk->nlk", self.penalized_masks, point_force)
@@ -585,6 +594,7 @@ class LeggedEnv:
         episode_sums = state.episode_sums
         for i, name in enumerate(self.reward_names):
             r = REWARDS[name](self, ctx) * self.reward_scales[name]
+            r = jnp.where(bad, 0.0, r)  # NaN-env rewards must not propagate
             rew_buf = rew_buf + r
             episode_sums = episode_sums.at[:, i].add(r)
         if c.rewards.only_positive_rewards:
@@ -852,7 +862,11 @@ class LeggedEnv:
             noise = (2.0 * jax.random.uniform(k_noise, obs.shape) - 1.0) * self.noise_scale_vec
             obs = obs + noise
         clip = c.normalization.clip_observations
-        return jnp.clip(obs, -clip, clip), jnp.clip(pri_obs, -clip, clip)
+        # nan_to_num: stale cached channels of a just-reset (exploded) env
+        # must not leak non-finite values into the network
+        obs = jnp.nan_to_num(jnp.clip(obs, -clip, clip))
+        pri_obs = jnp.nan_to_num(jnp.clip(pri_obs, -clip, clip))
+        return obs, pri_obs
 
     # ------------------------------------------------------------------
     # VecEnv-protocol conveniences (rsl_rl/env/vec_env.py:7-40)

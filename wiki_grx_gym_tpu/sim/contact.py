@@ -71,7 +71,9 @@ def contact_forces(
     h = height_fn(pos[..., 0], pos[..., 1])
     n = ground_normal(height_fn, pos[..., 0], pos[..., 1])
 
-    depth = h - (pos[..., 2] - radius)
+    # deep-penetration clamp bounds the restoring force if a body tunnels
+    # (PhysX: max_depenetration_velocity, legged_robot_config.py:49)
+    depth = jnp.minimum(h - (pos[..., 2] - radius), 0.5)
     active = depth > 0.0
 
     v_n = jnp.sum(vel * n, axis=-1)

@@ -33,6 +33,8 @@ from wiki_grx_gym_tpu.utils.maths import quat_apply, quat_integrate
 
 _MAX_LIN_VEL = 100.0   # asset max_linear_velocity (legged_robot_config.py:128-129)
 _MAX_ANG_VEL = 100.0
+_MAX_DOF_VEL = 100.0   # PhysX maxJointVelocity analogue — breaks contact
+                       # runaway feedback loops that otherwise reach inf
 
 
 @struct.dataclass
@@ -151,7 +153,7 @@ def physics_step(
         lin_vel = jnp.clip(lin_vel, -_MAX_LIN_VEL, _MAX_LIN_VEL)
         base_pos = state.base_pos + lin_vel * dt
         base_quat = quat_integrate(state.base_quat, ang_vel, dt)
-    qd = state.qd + dyn.qdd * dt
+    qd = jnp.clip(state.qd + dyn.qdd * dt, -_MAX_DOF_VEL, _MAX_DOF_VEL)
 
     new_state = PhysicsState(
         base_pos=base_pos,
