@@ -374,7 +374,7 @@ class LeggedEnv:
             rng=key,
             episode_length=jnp.zeros(n, jnp.int32),
             common_step=jnp.zeros((), jnp.int32),
-            commands=jnp.zeros((n, 3)),
+            commands=jnp.zeros((n, max(3, c.commands.num_commands))),
             actions=jnp.zeros((n, self.num_actions)),
             last_actions=jnp.zeros((n, self.num_actions)),
             last_last_actions=jnp.zeros((n, self.num_actions)),
@@ -487,6 +487,7 @@ class LeggedEnv:
         resample = (episode_length % self.resample_interval) == 0
         new_cmds = self._sample_commands(k_cmd, n, state.cmd_lin_vel_x_range)
         commands = jnp.where(resample[:, None], new_cmds, state.commands)
+        commands = self._apply_heading_command(commands, phys.base_quat, n)
 
         # fresh kinematics for pose-derived quantities
         kin = jax.vmap(forward_kinematics, in_axes=(None, 0, 0, 0, 0, 0))(
@@ -690,17 +691,38 @@ class LeggedEnv:
 
     def _sample_commands(self, key, n, x_range=None):
         """Uniform command resampling (legged_robot.py:650-677); small
-        commands snap to zero. ``x_range`` carries command-curriculum state."""
-        r = self.cfg.commands.ranges
+        commands snap to zero. ``x_range`` carries command-curriculum state.
+        In heading mode the 4th channel is the heading target and the yaw
+        command is recomputed per step from the heading error."""
+        c = self.cfg.commands
+        r = c.ranges
         if x_range is None:
             x_range = jnp.asarray(r.lin_vel_x, jnp.float32)
         k1, k2, k3 = jax.random.split(key, 3)
         cx = jax.random.uniform(k1, (n,), minval=x_range[0], maxval=x_range[1])
         cy = maths.uniform(k2, r.lin_vel_y[0], r.lin_vel_y[1], (n,))
-        cyaw = maths.uniform(k3, r.ang_vel_yaw[0], r.ang_vel_yaw[1], (n,))
-        cmds = jnp.stack([cx, cy, cyaw], axis=-1)
+        if c.heading_command:
+            heading = maths.uniform(k3, r.heading[0], r.heading[1], (n,))
+            cmds = jnp.stack([cx, cy, jnp.zeros(n), heading], axis=-1)
+        else:
+            cyaw = maths.uniform(k3, r.ang_vel_yaw[0], r.ang_vel_yaw[1], (n,))
+            cmds = jnp.stack([cx, cy, cyaw], axis=-1)
+        width = max(3, c.num_commands)
+        if cmds.shape[1] < width:
+            cmds = jnp.concatenate([cmds, jnp.zeros((n, width - cmds.shape[1]))], axis=-1)
         keep = (jnp.linalg.norm(cmds[:, :2], axis=1) > 0.1)[:, None]
         return cmds.at[:, :2].multiply(keep.astype(jnp.float32))
+
+    def _apply_heading_command(self, commands, base_quat, n):
+        """Heading mode (legged_robot.py:321-326): yaw command from the
+        heading error of the base forward vector."""
+        if not self.cfg.commands.heading_command:
+            return commands
+        fwd = maths.quat_apply(base_quat, jnp.broadcast_to(jnp.asarray([1.0, 0, 0]), (n, 3)))
+        heading = jnp.arctan2(fwd[:, 1], fwd[:, 0])
+        r = self.cfg.commands.ranges.ang_vel_yaw
+        yaw_cmd = jnp.clip(0.5 * maths.wrap_to_pi(commands[:, 3] - heading), r[0], r[1])
+        return commands.at[:, 2].set(yaw_cmd)
 
     def _measured_heights(self, phys, base_quat):
         """Terrain heights at the yaw-rotated measurement grid
@@ -838,7 +860,7 @@ class LeggedEnv:
         dof_pos_offset = phys.q - self.default_dof_pos
         obs = jnp.concatenate(
             [
-                commands * self.commands_scale,
+                commands[:, :3] * self.commands_scale,
                 bav * os_.ang_vel,
                 pg * os_.gravity,
                 dof_pos_offset * os_.dof_pos,

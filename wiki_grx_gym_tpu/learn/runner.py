@@ -257,8 +257,12 @@ class OnPolicyRunner:
             "learning_rate": state.ppo.learning_rate,
             "iter": 0,
         }
+        restore_args = ocp.checkpoint_utils.construct_restore_args(template)
         with ocp.PyTreeCheckpointer() as ckptr:
-            restored = ckptr.restore(os.path.abspath(path), item=template)
+            restored = ckptr.restore(
+                os.path.abspath(path),
+                args=ocp.args.PyTreeRestore(item=template, restore_args=restore_args),
+            )
         ppo = state.ppo.replace(
             params=restored["params"],
             learning_rate=restored["learning_rate"],
