@@ -57,7 +57,10 @@ def play(args, num_steps: int = 500, export: bool = True):
         export_dir = os.path.join(resume_root, "exported", "policies")
         os.makedirs(export_dir, exist_ok=True)
         export_policy_npz(runner.net, state.ppo.params, os.path.join(export_dir, "policy.npz"))
-        print(f"Exported policy to {export_dir}/policy.npz")
+        from wiki_grx_gym_tpu.deploy.runtime import export_policy_bin
+
+        export_policy_bin(state.ppo.params, os.path.join(export_dir, "policy.grxpolicy"))
+        print(f"Exported policy to {export_dir}/policy.npz and .grxpolicy")
 
     from wiki_grx_gym_tpu.utils.logger import EvalLogger
 
