@@ -14,6 +14,7 @@ from wiki_grx_gym_tpu.sim.contact import ContactParams
 from wiki_grx_gym_tpu.sim.dynamics import (
     GRAVITY,
     bias_forces,
+    spatial_inertia6,
     forward_dynamics,
     inertial_quantities,
     mass_matrix,
@@ -127,13 +128,14 @@ def test_crba_matches_kinetic_energy_hessian(gr1t1_lower):
 
     def ke(gen_v):
         kin = forward_kinematics(model, base_quat, gen_v[:3], gen_v[3:6], q, gen_v[6:])
-        _, _, i6 = inertial_quantities(model, kin)
+        mass, com_rel, blocks = inertial_quantities(model, kin)
+        i6 = spatial_inertia6(mass, com_rel, blocks)
         return 0.5 * jnp.einsum("bi,bij,bj->", kin.twist, i6, kin.twist)
 
     m_hess = jax.hessian(ke)(gen_v)
     kin = forward_kinematics(model, base_quat, gen_v[:3], gen_v[3:6], q, gen_v[6:])
-    _, _, i6 = inertial_quantities(model, kin)
-    m_crba = mass_matrix(model, kin, i6)
+    _, _, blocks = inertial_quantities(model, kin)
+    m_crba = mass_matrix(model, kin, blocks)
     np.testing.assert_allclose(np.asarray(m_crba), np.asarray(m_hess), rtol=1e-3, atol=1e-4)
 
 
@@ -151,11 +153,11 @@ def test_gravity_bias_matches_potential_gradient(gr1t1_lower):
     grad_pe = jax.grad(pe)(q)
 
     kin = forward_kinematics(model, base_quat, zero_v, zero_v, q, jnp.zeros(model.num_dof))
-    mass, com_rel, i6 = inertial_quantities(model, kin)
-    from wiki_grx_gym_tpu.sim.spatial import wrench_at
-
-    w_grav = wrench_at(com_rel, mass[:, None] * jnp.asarray([0.0, 0.0, -9.81]))
-    c_full = bias_forces(model, kin, jnp.zeros(model.num_dof), i6, w_grav)
+    mass, com_rel, blocks = inertial_quantities(model, kin)
+    grav = mass[:, None] * jnp.asarray([0.0, 0.0, -9.81])
+    c_full = bias_forces(
+        model, kin, jnp.zeros(model.num_dof), blocks, jnp.cross(com_rel, grav), grav
+    )
     np.testing.assert_allclose(np.asarray(c_full[6:]), np.asarray(grad_pe), rtol=1e-3, atol=1e-4)
     # base force bias = total weight
     total_w = float(jnp.sum(mass)) * 9.81
@@ -172,7 +174,8 @@ def test_humanoid_free_float_momentum(gr1t1_lower):
 
     def energy_and_ke(state):
         kin = kin_of(model, state)
-        mass, com_rel, i6 = inertial_quantities(model, kin)
+        mass, com_rel, blocks = inertial_quantities(model, kin)
+        i6 = spatial_inertia6(mass, com_rel, blocks)
         ke = 0.5 * jnp.einsum("bi,bij,bj->", kin.twist, i6, kin.twist)
         pe = -jnp.sum(mass * (state.base_pos[2] + com_rel[:, 2]) * GRAVITY[2])
         return float(ke + pe)

@@ -169,28 +169,29 @@ class LeggedEnv:
         self.torso_frame = self._opt_frame(c.asset.torso_name + "_link")
         self.forehead_frame = self._opt_frame(getattr(c.asset, "forehead_name", "") + "_link")
 
-        # --- contact groups: per-foot, termination links, penalized links ---
-        self.feet_point_masks = jnp.stack(
-            [model.link_point_mask([l]) for l in self.feet_links]
-        )  # (F, P)
+        # --- contact groups: per-foot, termination links, penalized links.
+        # Static index tuples -> unrolled gather+sum (a mask einsum would put
+        # a tiny contraction on the MXU) ---
+        def link_points(link):
+            return tuple(
+                p for p in range(model.num_points)
+                if model.point_link[p] == model.link_names.index(link)
+            )
+
+        self.feet_point_groups = tuple(link_points(l) for l in self.feet_links)
         term_links = []
         for sub in c.asset.terminate_after_contacts_on:
             term_links.extend(model.find_links(sub))
-        self.termination_links = tuple(dict.fromkeys(term_links))
-        self.termination_masks = (
-            jnp.stack([model.link_point_mask([l]) for l in self.termination_links])
-            if self.termination_links
-            else jnp.zeros((0, model.num_points))
-        )  # (L_term, P) — per-link norms, matching legged_robot.py:339-343
+        # only links that actually carry contact points participate
+        self.termination_links = tuple(
+            l for l in dict.fromkeys(term_links) if link_points(l)
+        )
+        self.termination_groups = tuple(link_points(l) for l in self.termination_links)
         pen_links = []
         for sub in c.asset.penalize_contacts_on:
             pen_links.extend(model.find_links(sub))
-        self.penalized_links = tuple(dict.fromkeys(pen_links))
-        self.penalized_masks = (
-            jnp.stack([model.link_point_mask([l]) for l in self.penalized_links])
-            if self.penalized_links
-            else jnp.zeros((0, model.num_points))
-        )
+        self.penalized_links = tuple(l for l in dict.fromkeys(pen_links) if link_points(l))
+        self.penalized_groups = tuple(link_points(l) for l in self.penalized_links)
 
         # --- height measurement grid (legged_robot.py:1219-1233) ---
         gx, gy = np.meshgrid(
@@ -446,7 +447,6 @@ class LeggedEnv:
             )
 
         vstep = jax.vmap(one_substep)
-        feet_masks = self.feet_point_masks  # (F, P)
 
         def substep(carry, i):
             phys, accum_force, accum_vxyz, accum_vrpy, _ = carry
@@ -454,7 +454,7 @@ class LeggedEnv:
             tau = self._pd_torques(phys.q, phys.qd, use_act, state.motor_strength)
             phys, out = vstep(phys, tau, state.rand)
             # per-foot net force norm (N, F)
-            foot_force = jnp.einsum("fp,npk->nfk", feet_masks, out.point_force)
+            foot_force = self._group_forces(out.point_force, self.feet_point_groups)
             accum_force = accum_force + jnp.linalg.norm(foot_force, axis=-1)
             # feet link velocities from body twists (rigid_body_states 7:13)
             tw = out.kin.twist[:, jnp.asarray(self.feet_bodies, jnp.int32)]  # (N,F,6)
@@ -522,7 +522,7 @@ class LeggedEnv:
             kin.quat[:, fb], jnp.broadcast_to(self.feet_offsets, (n, f, 3))
         )
         feet_height = feet_pos[..., 2] - mean_heights[:, None]  # (N, F)
-        feet_force = jnp.einsum("fp,npk->nfk", self.feet_point_masks, point_force)  # (N,F,3)
+        feet_force = self._group_forces(point_force, self.feet_point_groups)  # (N,F,3)
 
         # air/land trackers (fftai:108-133)
         feet_contact = feet_force[..., 2] > 1.0
@@ -533,7 +533,7 @@ class LeggedEnv:
 
         # termination (legged_robot.py:336-353): per-link contact force > 1
         if self.termination_links:
-            term_force = jnp.einsum("lp,npk->nlk", self.termination_masks, point_force)
+            term_force = self._group_forces(point_force, self.termination_groups)
             term_contact = jnp.any(jnp.linalg.norm(term_force, axis=-1) > 1.0, axis=1)
         else:
             term_contact = jnp.zeros(n, bool)
@@ -551,7 +551,7 @@ class LeggedEnv:
         reset_buf = term_contact | tilt | time_out | bad
 
         if self.penalized_links:
-            pen_force = jnp.einsum("lp,npk->nlk", self.penalized_masks, point_force)
+            pen_force = self._group_forces(point_force, self.penalized_groups)
             pen_count = jnp.sum(
                 (jnp.linalg.norm(pen_force, axis=-1) > 0.1).astype(jnp.float32), axis=1
             )
@@ -678,6 +678,20 @@ class LeggedEnv:
     # ------------------------------------------------------------------
     # helpers used by step
     # ------------------------------------------------------------------
+
+    @staticmethod
+    def _group_forces(point_force: jax.Array, groups) -> jax.Array:
+        """(N, P, 3) point forces -> (N, G, 3) per-group sums via static
+        index tuples (unrolled; no tiny-contraction matmuls)."""
+        cols = []
+        for g in groups:
+            if len(g) == 1:
+                cols.append(point_force[:, g[0]])
+            else:
+                cols.append(jnp.sum(point_force[:, jnp.asarray(g, jnp.int32)], axis=1))
+        if not cols:
+            return jnp.zeros((point_force.shape[0], 0, 3), point_force.dtype)
+        return jnp.stack(cols, axis=1)
 
     def _frame_projected_gravity(self, frame, kin, n, fallback):
         """Projected gravity in a named (possibly welded) link frame

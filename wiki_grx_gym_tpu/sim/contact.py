@@ -103,13 +103,18 @@ def body_wrenches(
     point_force: jax.Array,     # (P, 3)
 ) -> jax.Array:
     """Aggregate point forces into per-body spatial wrenches (B, 6) at the
-    reference origin (static scatter via one-hot matmul)."""
-    import numpy as np
-
-    onehot = np.zeros((len(point_body), num_bodies), dtype=np.float32)
-    for p, b in enumerate(point_body):
-        onehot[p, b] = 1.0
-    onehot = jnp.asarray(onehot)
+    reference origin. Static topology -> unrolled per-body sums (elementwise;
+    a one-hot matmul here would hit the MXU with a tiny contraction)."""
     tau = jnp.cross(point_pos_rel, point_force)
     wrench_p = jnp.concatenate([tau, point_force], axis=-1)   # (P, 6)
-    return onehot.T @ wrench_p                                 # (B, 6)
+    zero = jnp.zeros(6, wrench_p.dtype)
+    per_body = []
+    for b in range(num_bodies):
+        idx = [p for p, pb in enumerate(point_body) if pb == b]
+        if not idx:
+            per_body.append(zero)
+        elif len(idx) == 1:
+            per_body.append(wrench_p[idx[0]])
+        else:
+            per_body.append(jnp.sum(wrench_p[jnp.asarray(idx, jnp.int32)], axis=0))
+    return jnp.stack(per_body)                                 # (B, 6)

@@ -188,6 +188,66 @@ def skew(v: jax.Array) -> jax.Array:
     return m.reshape(v.shape[:-1] + (3, 3))
 
 
+# ---------------------------------------------------------------------------
+# component-form small-matrix ops.
+#
+# On TPU, batched (N, 3, 3) dot_generals run on the 128x128 MXU at ~0.05%
+# utilization and force HBM layout conversions either side (profiled: 70% of
+# a physics substep). These helpers express the same math as elementwise VPU
+# ops over the batch — use them for every small fixed-size contraction in
+# device code.
+# ---------------------------------------------------------------------------
+
+
+def mat3_vec(m: jax.Array, v: jax.Array) -> jax.Array:
+    """(..., 3, 3) @ (..., 3) without dot_general."""
+    return jnp.stack(
+        [
+            m[..., 0, 0] * v[..., 0] + m[..., 0, 1] * v[..., 1] + m[..., 0, 2] * v[..., 2],
+            m[..., 1, 0] * v[..., 0] + m[..., 1, 1] * v[..., 1] + m[..., 1, 2] * v[..., 2],
+            m[..., 2, 0] * v[..., 0] + m[..., 2, 1] * v[..., 1] + m[..., 2, 2] * v[..., 2],
+        ],
+        axis=-1,
+    )
+
+
+def mat3_mul(a: jax.Array, b: jax.Array) -> jax.Array:
+    """(..., 3, 3) @ (..., 3, 3) without dot_general."""
+    rows = []
+    for i in range(3):
+        cols = []
+        for j in range(3):
+            cols.append(
+                a[..., i, 0] * b[..., 0, j]
+                + a[..., i, 1] * b[..., 1, j]
+                + a[..., i, 2] * b[..., 2, j]
+            )
+        rows.append(jnp.stack(cols, axis=-1))
+    return jnp.stack(rows, axis=-2)
+
+
+def mat3_sandwich(r: jax.Array, m: jax.Array) -> jax.Array:
+    """R @ M @ R^T in component form."""
+    rm = mat3_mul(r, m)
+    # rm @ r^T: rows of rm dotted with rows of r
+    rows = []
+    for i in range(3):
+        cols = []
+        for j in range(3):
+            cols.append(
+                rm[..., i, 0] * r[..., j, 0]
+                + rm[..., i, 1] * r[..., j, 1]
+                + rm[..., i, 2] * r[..., j, 2]
+            )
+        rows.append(jnp.stack(cols, axis=-1))
+    return jnp.stack(rows, axis=-2)
+
+
+def outer3(a: jax.Array, b: jax.Array) -> jax.Array:
+    """(..., 3) outer (..., 3) -> (..., 3, 3)."""
+    return a[..., :, None] * b[..., None, :]
+
+
 def uniform(key: jax.Array, lo, hi, shape) -> jax.Array:
     """Uniform sample in [lo, hi) — the ``torch_rand_float`` equivalent
     (torch_utils.py:194-196)."""
