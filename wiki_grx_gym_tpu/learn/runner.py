@@ -176,7 +176,13 @@ class OnPolicyRunner:
     # ------------------------------------------------------------------
 
     def learn(self, num_learning_iterations: int, init_at_random_ep_len: bool = True,
-              state: Optional[RunnerState] = None) -> RunnerState:
+              state: Optional[RunnerState] = None,
+              profile_dir: Optional[str] = None) -> RunnerState:
+        """Train for N iterations.
+
+        ``profile_dir`` captures a jax.profiler device trace of iterations
+        2-4 (the tracing/profiling aux subsystem, SURVEY.md §5 — view with
+        xprof / tensorboard-plugin-profile)."""
         if state is None:
             state = self.init_state(init_at_random_ep_len)
         if self.log_dir is not None and self.writer is None:
@@ -188,10 +194,15 @@ class OnPolicyRunner:
         steps_per_iter = self.num_steps_per_env * self.env.num_envs
         start_iter = self.current_learning_iteration
         for it in range(start_iter, start_iter + num_learning_iterations):
+            rel = it - start_iter
+            if profile_dir is not None and rel == 2:
+                jax.profiler.start_trace(profile_dir)
             t0 = time.time()
             state, metrics = self._train_iter(state)
             metrics = jax.device_get(metrics)
             elapsed = time.time() - t0
+            if profile_dir is not None and rel == 4:
+                jax.profiler.stop_trace()
 
             self.tot_timesteps += steps_per_iter
             self.tot_time += elapsed
