@@ -178,3 +178,54 @@ def test_push_robots_changes_velocity(small_env):
     state, _ = step(state, jnp.zeros((env.num_envs, 10)))
     vel = np.asarray(state.physics.base_lin_vel[:, :2])
     assert np.any(np.abs(vel) > 1e-4), "push should set nonzero xy base velocity"
+
+
+def test_heading_command_mode():
+    """Heading mode (base cfg default): yaw command computed from heading
+    error (legged_robot.py:321-326)."""
+    env_cfg, _ = task_registry.get_cfgs("GR1T1")
+    env_cfg.env.num_envs = 4
+    env_cfg.commands.heading_command = True
+    env_cfg.commands.num_commands = 4
+    env, _ = task_registry.make_env("GR1T1", env_cfg=env_cfg)
+    state = env.init_state(jax.random.PRNGKey(0))
+    assert state.commands.shape == (4, 4)
+    state, out = jax.jit(env.step)(state, jnp.zeros((4, 10)))
+    # yaw command bounded by the configured range
+    r = env.cfg.commands.ranges.ang_vel_yaw
+    assert bool(jnp.all(state.commands[:, 2] >= r[0] - 1e-6))
+    assert bool(jnp.all(state.commands[:, 2] <= r[1] + 1e-6))
+    assert out.obs.shape == (4, 39)
+
+
+def test_ppo_extra_loss_hook():
+    """The calculate_other_loss extension point (rsl_rl ppo.py:323-324)."""
+    from wiki_grx_gym_tpu.learn.networks import ActorCritic
+    from wiki_grx_gym_tpu.learn.ppo import PPO, Transition
+
+    _, train_cfg = task_registry.get_cfgs("GR1T1")
+    train_cfg.algorithm.num_mini_batches = 2
+    train_cfg.algorithm.num_learning_epochs = 1
+    net = ActorCritic(6, 6, 2, train_cfg.policy)
+    calls = {}
+
+    def extra(params, mb):
+        calls["hit"] = True
+        return 0.01 * jnp.sum(jnp.square(params.std))
+
+    alg = PPO(net, train_cfg.algorithm, extra_loss_fn=extra)
+    params = net.init(jax.random.PRNGKey(0))
+    ppo_state = alg.init(params)
+    t, n = 4, 8
+    key = jax.random.PRNGKey(1)
+    obs = jax.random.normal(key, (t, n, 6))
+    actions, logp, mu, sigma = jax.vmap(lambda o, k: net.act(params, o, k))(
+        obs, jax.random.split(key, t)
+    )
+    values = jax.vmap(lambda o: net.evaluate(params, o))(obs)
+    batch = Transition(obs, obs, actions, jnp.ones((t, n)), jnp.zeros((t, n), bool),
+                       values, logp, mu, sigma)
+    returns, adv = alg.compute_returns(batch, values[-1])
+    _, metrics = jax.jit(alg.update)(ppo_state, batch, returns, adv, jax.random.PRNGKey(2))
+    assert calls.get("hit")
+    assert np.isfinite(float(metrics["value_loss"]))

@@ -51,9 +51,14 @@ class PPOState:
 
 
 class PPO:
-    def __init__(self, net: ActorCritic, alg_cfg):
+    def __init__(self, net: ActorCritic, alg_cfg, extra_loss_fn=None):
+        """``extra_loss_fn(params, minibatch) -> scalar`` is the extension
+        hook the reference exposes as ``calculate_other_loss``
+        (ppo.py:289-295,323-324) for imitation/symmetry losses — e.g. a
+        mirror-symmetry loss built from `learn/utils.swap_lr`."""
         self.net = net
         self.cfg = alg_cfg
+        self.extra_loss_fn = extra_loss_fn
         self.gamma = float(alg_cfg.gamma)
         self.lam = float(alg_cfg.lam)
         self.clip_param = float(alg_cfg.clip_param)
@@ -153,6 +158,8 @@ class PPO:
             + self.value_loss_coef * value_loss
             - self.entropy_coef * jnp.mean(entropy)
         )
+        if self.extra_loss_fn is not None:
+            loss = loss + self.extra_loss_fn(params, mb)
         aux = {"value_loss": value_loss, "surrogate_loss": surrogate_loss, "kl": kl_mean}
         return loss, aux
 
