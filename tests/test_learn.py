@@ -168,3 +168,28 @@ def test_policy_export_roundtrip(tmp_path):
     want = np.asarray(net.act_inference(params, jnp.asarray(obs)))
     got = np_policy(obs)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_resume_flow_uses_loaded_state(tmp_path):
+    """task_registry resume path: load() must feed the state that learn()
+    continues from (params + iteration counter)."""
+    env_cfg, train_cfg = small_cfgs(n_envs=8, steps=4, mb=2, epochs=1)
+    env, _ = task_registry.make_env("GR1T1", env_cfg=env_cfg)
+    from wiki_grx_gym_tpu.learn.runner import OnPolicyRunner
+
+    runner = OnPolicyRunner(env, train_cfg, log_dir=None)
+    state = runner.learn(1)
+    runner.current_learning_iteration = 5
+    path = str(tmp_path / "model_5")
+    runner.save(path, state)
+
+    runner2 = OnPolicyRunner(env, train_cfg, log_dir=None)
+    runner2.load(path)
+    assert runner2.current_learning_iteration == 5
+    state2 = runner2.learn(1)  # state=None -> must resume the loaded state
+    assert runner2.current_learning_iteration == 6
+    # params actually evolved from the checkpoint (not reinitialized): the
+    # loaded std was partially annealed, a fresh one would be 0.2 exactly
+    import numpy as np
+
+    assert not np.allclose(np.asarray(state2.ppo.params.std), 0.2)

@@ -68,6 +68,7 @@ class OnPolicyRunner:
         self.current_learning_iteration = 0
         self.rewbuffer = deque(maxlen=100)
         self.lenbuffer = deque(maxlen=100)
+        self._loaded_state: Optional[RunnerState] = None  # set by load()
 
         self._train_iter = jax.jit(self._iteration, donate_argnums=(0,))
 
@@ -184,6 +185,10 @@ class OnPolicyRunner:
         2-4 (the tracing/profiling aux subsystem, SURVEY.md §5 — view with
         xprof / tensorboard-plugin-profile)."""
         if state is None:
+            # resume path: reuse the state prepared by load() (task_registry
+            # make_alg_runner resume flow, task_registry.py:150-155)
+            state = self._loaded_state
+        if state is None:
             state = self.init_state(init_at_random_ep_len)
         if self.log_dir is not None and self.writer is None:
             os.makedirs(self.log_dir, exist_ok=True)
@@ -281,7 +286,9 @@ class OnPolicyRunner:
         if load_optimizer:
             ppo = ppo.replace(opt_state=restored["opt_state"])
         self.current_learning_iteration = int(restored["iter"])
-        return state.replace(ppo=ppo)
+        state = state.replace(ppo=ppo)
+        self._loaded_state = state
+        return state
 
     # ------------------------------------------------------------------
 
