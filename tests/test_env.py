@@ -229,3 +229,52 @@ def test_ppo_extra_loss_hook():
     _, metrics = jax.jit(alg.update)(ppo_state, batch, returns, adv, jax.random.PRNGKey(2))
     assert calls.get("hit")
     assert np.isfinite(float(metrics["value_loss"]))
+
+
+def test_self_collision_pairs_and_forces(small_env):
+    """Self-collision (asset.self_collisions == 0 -> enabled,
+    legged_robot_config.py:121): crossed legs must repel."""
+    env = small_env
+    pairs_i, pairs_j = env.self_pairs
+    assert len(pairs_i) > 10  # left-leg x right-leg sphere pairs exist
+    # no pair is on the same or directly-adjacent bodies
+    for a, b in zip(pairs_i, pairs_j):
+        ba, bb = env.model.point_body[a], env.model.point_body[b]
+        assert ba != bb
+        assert env.model.parent[ba] != bb and env.model.parent[bb] != ba
+
+    from wiki_grx_gym_tpu.sim.contact import self_collision_forces
+
+    # two overlapping spheres from an actual pair -> opposing forces
+    p = env.model.num_points
+    pos = np.zeros((p, 3), np.float32)
+    pos[pairs_i[0]] = [0.0, 0.01, 0.5]
+    pos[pairs_j[0]] = [0.0, -0.01, 0.5]
+    f = self_collision_forces(
+        env.contact_params, jnp.asarray(pos), jnp.zeros((p, 3)),
+        env.model.point_radius, env.self_pairs[0], env.self_pairs[1], 0.002,
+    )
+    fi, fj = np.asarray(f[pairs_i[0]]), np.asarray(f[pairs_j[0]])
+    assert fi[1] > 1.0 and fj[1] < -1.0  # pushed apart along y
+    np.testing.assert_allclose(fi, -fj, atol=1e-4)
+
+
+def test_self_collision_inactive_at_default_pose(small_env):
+    """Standing at the default pose must generate no self-collision forces
+    (pairs are filtered for default-pose separation)."""
+    env = small_env
+    from wiki_grx_gym_tpu.sim.contact import self_collision_forces
+    from wiki_grx_gym_tpu.sim.kinematics import forward_kinematics
+    from wiki_grx_gym_tpu.utils.maths import quat_apply
+
+    kin = forward_kinematics(
+        env.model, jnp.asarray([0.0, 0, 0, 1.0]), jnp.zeros(3), jnp.zeros(3),
+        env.default_dof_pos, jnp.zeros(env.num_dof),
+    )
+    pb = jnp.asarray(env.model.point_body, jnp.int32)
+    pos = kin.pos_rel[pb] + quat_apply(kin.quat[pb], env.model.point_offset)
+    f = self_collision_forces(
+        env.contact_params, pos, jnp.zeros_like(pos), env.model.point_radius,
+        env.self_pairs[0], env.self_pairs[1], 0.002,
+    )
+    assert float(jnp.max(jnp.abs(f))) == 0.0

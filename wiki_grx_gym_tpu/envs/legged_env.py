@@ -193,6 +193,13 @@ class LeggedEnv:
         self.penalized_links = tuple(l for l in dict.fromkeys(pen_links) if link_points(l))
         self.penalized_groups = tuple(link_points(l) for l in self.penalized_links)
 
+        # --- self-collision candidate pairs (asset.self_collisions == 0
+        # means *enabled*, matching legged_robot_config.py:121) ---
+        if getattr(c.asset, "self_collisions", 0) == 0 and model.num_points:
+            self.self_pairs = self._build_self_pairs()
+        else:
+            self.self_pairs = ((), ())
+
         # --- height measurement grid (legged_robot.py:1219-1233) ---
         gx, gy = np.meshgrid(
             np.asarray(c.terrain.measured_points_x, np.float32),
@@ -443,7 +450,8 @@ class LeggedEnv:
 
         def one_substep(phys, tau, rand):
             return physics_step(
-                self.model, phys, tau, self.height_fn, self.contact_params, rand, self.sim_dt
+                self.model, phys, tau, self.height_fn, self.contact_params, rand,
+                self.sim_dt, self_pairs=self.self_pairs,
             )
 
         vstep = jax.vmap(one_substep)
@@ -678,6 +686,37 @@ class LeggedEnv:
     # ------------------------------------------------------------------
     # helpers used by step
     # ------------------------------------------------------------------
+
+    def _build_self_pairs(self):
+        """Static self-collision pair list: proxy spheres on different,
+        non-adjacent bodies that are separated at the default pose (pairs
+        already overlapping there are design contacts, not collisions)."""
+        model = self.model
+        kin = forward_kinematics(
+            model,
+            jnp.asarray([0.0, 0.0, 0.0, 1.0]),
+            jnp.zeros(3),
+            jnp.zeros(3),
+            self.default_dof_pos,
+            jnp.zeros(model.num_dof),
+        )
+        pb = jnp.asarray(model.point_body, jnp.int32)
+        pos = np.asarray(
+            kin.pos_rel[pb] + maths.quat_apply(kin.quat[pb], model.point_offset)
+        )
+        radius = np.asarray(model.point_radius)
+        parent = model.parent
+        pi, pj = [], []
+        for a in range(model.num_points):
+            for b in range(a + 1, model.num_points):
+                ba, bb = model.point_body[a], model.point_body[b]
+                if ba == bb or parent[ba] == bb or parent[bb] == ba:
+                    continue
+                gap = np.linalg.norm(pos[a] - pos[b]) - (radius[a] + radius[b])
+                if gap > 0.02:
+                    pi.append(a)
+                    pj.append(b)
+        return (tuple(pi), tuple(pj))
 
     @staticmethod
     def _group_forces(point_force: jax.Array, groups) -> jax.Array:

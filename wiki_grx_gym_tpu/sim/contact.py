@@ -96,6 +96,48 @@ def contact_forces(
     return f_n[..., None] * n + f_t
 
 
+def self_collision_forces(
+    params: ContactParams,
+    pos: jax.Array,       # (P, 3) world sphere centers
+    vel: jax.Array,       # (P, 3) world sphere velocities
+    radius: jax.Array,    # (P,)
+    pairs_i,              # static tuple of point indices
+    pairs_j,              # static tuple of point indices
+    dt: float,
+) -> jax.Array:
+    """Sphere-sphere self-collision penalty forces, accumulated per point
+    (P, 3).
+
+    The reference enables robot self-collision in PhysX by default
+    (``self_collisions = 0`` = enabled, `legged_robot_config.py:121`); here a
+    static candidate pair list (filtered at env build: different bodies,
+    non-adjacent, separated at the default pose) is tested every substep —
+    pairs are O(10^2), branchless, VPU-only."""
+    if not pairs_i:
+        return jnp.zeros_like(pos)
+    ii = jnp.asarray(pairs_i, jnp.int32)
+    jj = jnp.asarray(pairs_j, jnp.int32)
+    d = pos[ii] - pos[jj]                       # (K, 3)
+    dist = jnp.linalg.norm(d, axis=-1)
+    n = d / jnp.maximum(dist, 1e-6)[..., None]
+    pen = (radius[ii] + radius[jj]) - dist
+    active = pen > 0.0
+
+    rel_v = vel[ii] - vel[jj]
+    v_n = jnp.sum(rel_v * n, axis=-1)
+    imp_cap = params.point_mass / dt
+    d_n = jnp.minimum(
+        2.0 * params.damping_ratio * jnp.sqrt(params.stiffness * params.point_mass), imp_cap
+    )
+    f_mag = jnp.maximum(params.stiffness * jnp.minimum(pen, 0.1) - d_n * v_n, 0.0)
+    f = jnp.where(active, f_mag, 0.0)[..., None] * n   # force on point i (+n), on j (-n)
+
+    out = jnp.zeros_like(pos)
+    out = out.at[ii].add(f)
+    out = out.at[jj].add(-f)
+    return out
+
+
 def body_wrenches(
     num_bodies: int,
     point_body: Tuple[int, ...],

@@ -26,6 +26,7 @@ from wiki_grx_gym_tpu.sim.contact import (
     HeightFn,
     body_wrenches,
     contact_forces,
+    self_collision_forces,
 )
 from wiki_grx_gym_tpu.sim.dynamics import forward_dynamics
 from wiki_grx_gym_tpu.sim.kinematics import Kinematics, forward_kinematics
@@ -103,6 +104,7 @@ def physics_step(
     rand: BodyRandomization,
     dt: float,
     fixed_base: bool = False,
+    self_pairs: tuple = ((), ()),   # static (pairs_i, pairs_j) for self-collision
 ) -> tuple[PhysicsState, PhysicsOutput]:
     kin = forward_kinematics(
         model, state.base_quat, state.base_ang_vel, state.base_lin_vel, state.q, state.qd
@@ -126,6 +128,11 @@ def physics_step(
         rand.restitution,
         dt,
     )
+    if self_pairs[0]:
+        f_points = f_points + self_collision_forces(
+            contact_params, point_pos, point_vel, model.point_radius,
+            self_pairs[0], self_pairs[1], dt,
+        )
     ext = body_wrenches(model.num_bodies, model.point_body, point_rel, f_points)
 
     dyn = forward_dynamics(
