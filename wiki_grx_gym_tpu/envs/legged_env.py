@@ -376,6 +376,7 @@ class LeggedEnv:
             base_ang_vel=jnp.zeros((n, 3)),
             q=jnp.tile(self.default_dof_pos, (n, 1)),
             qd=jnp.zeros((n, d)),
+            anchor=jnp.zeros((n, self.model.num_points, 3)),
         )
         state = EnvState(
             physics=zero_phys,
@@ -876,6 +877,7 @@ class LeggedEnv:
             base_ang_vel=w(vel6[:, 3:], phys.base_ang_vel),
             q=w(q_new, phys.q),
             qd=w(jnp.zeros((n, d)), phys.qd),
+            anchor=w(jnp.zeros((n, self.model.num_points, 3)), phys.anchor),
         )
         zeros_a = jnp.zeros((n, self.num_actions))
         return state.replace(

@@ -47,6 +47,9 @@ class ContactParams:
     damping_ratio: float = struct.field(pytree_node=False, default=0.7)
     point_mass: float = struct.field(pytree_node=False, default=0.25)   # kg
     slip_velocity: float = struct.field(pytree_node=False, default=1e-5)
+    # anchored (stick) friction: tangential spring to a per-point anchor that
+    # slips along the Coulomb cone. 0 disables (pure capped-viscous friction).
+    tangent_stiffness: float = struct.field(pytree_node=False, default=1.0e4)  # N/m
 
 
 def ground_normal(height_fn: HeightFn, x: jax.Array, y: jax.Array, eps: float = 0.05):
@@ -66,8 +69,15 @@ def contact_forces(
     friction: jax.Array,      # per-env scalar (or (P,)) friction coefficient
     restitution: jax.Array,   # per-env scalar in [0, 1]
     dt: float,
-) -> jax.Array:
-    """World-frame contact force (P, 3) on each proxy sphere."""
+    anchor: jax.Array = None,  # (P, 3) stick-friction anchors (world)
+):
+    """World-frame contact force (P, 3) on each proxy sphere.
+
+    With ``anchor`` given, tangential friction is a spring to a per-point
+    anchor that slips along the Coulomb cone (true static friction — no
+    creep under sustained shear); returns ``(force, new_anchor)``.
+    Without it, friction is the capped-viscous law and only the force is
+    returned."""
     h = height_fn(pos[..., 0], pos[..., 1])
     n = ground_normal(height_fn, pos[..., 0], pos[..., 1])
 
@@ -85,15 +95,35 @@ def contact_forces(
     f_n = jnp.maximum(params.stiffness * depth - d_n * v_n, 0.0)
     f_n = jnp.where(active, f_n, 0.0)
 
-    # friction: stop the tangential motion within one substep, capped by the
-    # Coulomb cone mu * f_n
-    speed_t = jnp.linalg.norm(v_t, axis=-1)
-    k_t = jnp.minimum(
-        imp_cap, friction * f_n / jnp.maximum(speed_t, params.slip_velocity)
-    )
-    f_t = -k_t[..., None] * v_t
+    cone = friction * f_n
+    use_anchor = anchor is not None and params.tangent_stiffness > 0.0
+    if use_anchor:
+        # spring to anchor (projected to the tangent plane) + stabilizing
+        # damping; the error clamp re-anchors gracefully across teleporting
+        # resets
+        err = jnp.clip(pos - anchor, -0.1, 0.1)
+        err = err - jnp.sum(err * n, axis=-1, keepdims=True) * n
+        d_t = jnp.minimum(
+            2.0 * jnp.sqrt(params.tangent_stiffness * params.point_mass), imp_cap
+        )
+        f_t = -params.tangent_stiffness * err - d_t * v_t
+        mag = jnp.linalg.norm(f_t, axis=-1)
+        scale = jnp.minimum(1.0, cone / jnp.maximum(mag, 1e-9))
+        f_t = f_t * scale[..., None]
+        # slipping pairs drag their anchor to the cone boundary; airborne
+        # points re-anchor at their current position
+        new_anchor = pos + f_t / params.tangent_stiffness
+        new_anchor = jnp.where(active[..., None], new_anchor, pos)
+        f_t = jnp.where(active[..., None], f_t, 0.0)
+    else:
+        speed_t = jnp.linalg.norm(v_t, axis=-1)
+        k_t = jnp.minimum(imp_cap, cone / jnp.maximum(speed_t, params.slip_velocity))
+        f_t = -k_t[..., None] * v_t
 
-    return f_n[..., None] * n + f_t
+    force = f_n[..., None] * n + f_t
+    if use_anchor:
+        return force, new_anchor
+    return force
 
 
 def self_collision_forces(

@@ -53,6 +53,7 @@ class PhysicsState:
     base_ang_vel: jax.Array  # (3,) world
     q: jax.Array             # (D,)
     qd: jax.Array            # (D,)
+    anchor: jax.Array        # (P, 3) stick-friction anchors (world)
 
 
 @struct.dataclass
@@ -92,6 +93,7 @@ def default_state(model: RobotModel, base_pos, base_quat, q) -> PhysicsState:
         base_ang_vel=jnp.zeros(3, jnp.float32),
         q=jnp.asarray(q, jnp.float32),
         qd=jnp.zeros(model.num_dof, jnp.float32),
+        anchor=jnp.zeros((model.num_points, 3), jnp.float32),
     )
 
 
@@ -118,7 +120,7 @@ def physics_step(
     point_vel = tw[:, 3:] + jnp.cross(tw[:, :3], point_rel)
     point_pos = state.base_pos + point_rel
 
-    f_points = contact_forces(
+    f_points, new_anchor = contact_forces(
         contact_params,
         height_fn,
         point_pos,
@@ -127,6 +129,7 @@ def physics_step(
         rand.friction,
         rand.restitution,
         dt,
+        anchor=state.anchor,
     )
     if self_pairs[0]:
         f_points = f_points + self_collision_forces(
@@ -169,6 +172,7 @@ def physics_step(
         base_ang_vel=ang_vel,
         q=state.q + qd * dt,
         qd=qd,
+        anchor=new_anchor,
     )
     return new_state, PhysicsOutput(kin=kin, point_force=f_points, point_pos=point_pos, qdd=dyn.qdd)
 
