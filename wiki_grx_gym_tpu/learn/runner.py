@@ -190,7 +190,10 @@ class OnPolicyRunner:
             state = self._loaded_state
         if state is None:
             state = self.init_state(init_at_random_ep_len)
-        if self.log_dir is not None and self.writer is None:
+        # multi-host: only process 0 writes logs/checkpoints (restart
+        # tolerance: any process can re-read them on resume)
+        is_lead = jax.process_index() == 0
+        if self.log_dir is not None and self.writer is None and is_lead:
             os.makedirs(self.log_dir, exist_ok=True)
             from torch.utils.tensorboard import SummaryWriter
 
@@ -214,9 +217,9 @@ class OnPolicyRunner:
             self.current_learning_iteration = it + 1
             self._log(it, metrics, elapsed, steps_per_iter)
 
-            if self.log_dir is not None and (it + 1) % self.save_interval == 0:
+            if self.log_dir is not None and is_lead and (it + 1) % self.save_interval == 0:
                 self.save(os.path.join(self.log_dir, f"model_{it + 1}"), state)
-        if self.log_dir is not None:
+        if self.log_dir is not None and is_lead:
             self.save(
                 os.path.join(self.log_dir, f"model_{self.current_learning_iteration}"), state
             )
