@@ -72,6 +72,7 @@ class LeggedRobotCfg(BaseConfig):
         contact_damping_ratio = 0.7
         contact_point_mass = 0.25       # kg; caps damping/friction impulses
         slip_velocity = 1e-5
+        contact_tangent_stiffness = 1.0e4  # anchored stick friction; 0 = viscous
 
     class env:
         num_envs = 4096

@@ -221,6 +221,7 @@ class LeggedEnv:
             damping_ratio=c.sim.contact_damping_ratio,
             point_mass=c.sim.contact_point_mass,
             slip_velocity=c.sim.slip_velocity,
+            tangent_stiffness=getattr(c.sim, "contact_tangent_stiffness", 1.0e4),
         )
 
         # --- reward selection (legged_robot.py:840-866): drop zero scales,
@@ -689,10 +690,18 @@ class LeggedEnv:
     # ------------------------------------------------------------------
 
     def _build_self_pairs(self):
-        """Static self-collision pair list: proxy spheres on different,
-        non-adjacent bodies that are separated at the default pose (pairs
-        already overlapping there are design contacts, not collisions)."""
+        """Static self-collision pair list: proxy spheres on *different
+        limbs* (different children-subtrees of the base) that are separated
+        at the default pose. Cross-limb contact (legs scissoring) is what
+        matters for gait learning; base/arm-vs-leg contact only occurs in
+        falls, which terminate anyway — including those pairs quadrupled the
+        pair count for no training-relevant signal."""
         model = self.model
+
+        def limb_root(body):
+            while body > 0 and model.parent[body] != 0:
+                body = model.parent[body]
+            return body
         kin = forward_kinematics(
             model,
             jnp.asarray([0.0, 0.0, 0.0, 1.0]),
@@ -711,7 +720,7 @@ class LeggedEnv:
         for a in range(model.num_points):
             for b in range(a + 1, model.num_points):
                 ba, bb = model.point_body[a], model.point_body[b]
-                if ba == bb or parent[ba] == bb or parent[bb] == ba:
+                if ba == 0 or bb == 0 or limb_root(ba) == limb_root(bb):
                     continue
                 gap = np.linalg.norm(pos[a] - pos[b]) - (radius[a] + radius[b])
                 if gap > 0.02:

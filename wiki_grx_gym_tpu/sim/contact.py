@@ -162,10 +162,25 @@ def self_collision_forces(
     f_mag = jnp.maximum(params.stiffness * jnp.minimum(pen, 0.1) - d_n * v_n, 0.0)
     f = jnp.where(active, f_mag, 0.0)[..., None] * n   # force on point i (+n), on j (-n)
 
-    out = jnp.zeros_like(pos)
-    out = out.at[ii].add(f)
-    out = out.at[jj].add(-f)
-    return out
+    # accumulate per point via a static padded incidence table (a scatter-add
+    # here cost 30% of the whole substep on TPU)
+    num_points = pos.shape[-2]
+    k = len(pairs_i)
+    incidence = [[] for _ in range(num_points)]
+    for slot, (a, b) in enumerate(zip(pairs_i, pairs_j)):
+        incidence[a].append((slot, 1.0))
+        incidence[b].append((slot, -1.0))
+    maxdeg = max(len(lst) for lst in incidence)
+    import numpy as _np
+
+    slots = _np.full((num_points, maxdeg), k, _np.int32)   # k = zero-pad row
+    signs = _np.zeros((num_points, maxdeg), _np.float32)
+    for p, lst in enumerate(incidence):
+        for col, (slot, sign) in enumerate(lst):
+            slots[p, col] = slot
+            signs[p, col] = sign
+    f_pad = jnp.concatenate([f, jnp.zeros_like(f[:1])], axis=0)   # (K+1, 3)
+    return jnp.sum(jnp.asarray(signs)[..., None] * f_pad[jnp.asarray(slots)], axis=1)
 
 
 def body_wrenches(

@@ -120,17 +120,30 @@ def physics_step(
     point_vel = tw[:, 3:] + jnp.cross(tw[:, :3], point_rel)
     point_pos = state.base_pos + point_rel
 
-    f_points, new_anchor = contact_forces(
-        contact_params,
-        height_fn,
-        point_pos,
-        point_vel,
-        model.point_radius,
-        rand.friction,
-        rand.restitution,
-        dt,
-        anchor=state.anchor,
-    )
+    if contact_params.tangent_stiffness > 0.0:
+        f_points, new_anchor = contact_forces(
+            contact_params,
+            height_fn,
+            point_pos,
+            point_vel,
+            model.point_radius,
+            rand.friction,
+            rand.restitution,
+            dt,
+            anchor=state.anchor,
+        )
+    else:
+        f_points = contact_forces(
+            contact_params,
+            height_fn,
+            point_pos,
+            point_vel,
+            model.point_radius,
+            rand.friction,
+            rand.restitution,
+            dt,
+        )
+        new_anchor = state.anchor
     if self_pairs[0]:
         f_points = f_points + self_collision_forces(
             contact_params, point_pos, point_vel, model.point_radius,
