@@ -170,6 +170,56 @@ def test_policy_export_roundtrip(tmp_path):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_get_load_path_resolves_orbax_checkpoints(tmp_path):
+    """`--load_run`/`--checkpoint` resolution against orbax `model_<it>`
+    directories (reference semantics: helpers.py:108-130, but without the
+    torch `.pt` suffix)."""
+    from wiki_grx_gym_tpu.utils.task_registry import get_load_path
+
+    run = tmp_path / "Aug17_14-00-00_run1"
+    for it in (9, 100, 1000):
+        (run / f"model_{it}").mkdir(parents=True)
+    # latest checkpoint of latest run (numeric order, not lexicographic)
+    assert get_load_path(str(tmp_path)) == str(run / "model_1000")
+    # explicit checkpoint, latest run
+    assert get_load_path(str(tmp_path), checkpoint=100) == str(run / "model_100")
+    # explicit run + checkpoint
+    assert get_load_path(
+        str(tmp_path), load_run="Aug17_14-00-00_run1", checkpoint=9
+    ) == str(run / "model_9")
+    with pytest.raises(ValueError, match="Checkpoint 300"):
+        get_load_path(str(tmp_path), checkpoint=300)
+    with pytest.raises(ValueError, match="No runs"):
+        get_load_path(str(tmp_path / "nope"))
+
+
+def test_explicit_checkpoint_resume_end_to_end(tmp_path):
+    """`--resume --load_run <run> --checkpoint N` through make_alg_runner
+    must restore that exact checkpoint (task_registry.py:150-155 parity)."""
+    env_cfg, train_cfg = small_cfgs(n_envs=8, steps=4, mb=2, epochs=1)
+    env, _ = task_registry.make_env("GR1T1", env_cfg=env_cfg)
+    from wiki_grx_gym_tpu.learn.runner import OnPolicyRunner
+
+    runner = OnPolicyRunner(env, train_cfg, log_dir=None)
+    state = runner.learn(1)
+    run_dir = tmp_path / "exp" / "Aug17_14-00-00_"
+    runner.current_learning_iteration = 7
+    runner.save(str(run_dir / "model_7"), state)
+
+    train_cfg2 = small_cfgs(n_envs=8, steps=4, mb=2, epochs=1)[1]
+    train_cfg2.runner.resume = True
+    train_cfg2.runner.load_run = "Aug17_14-00-00_"
+    train_cfg2.runner.checkpoint = 7
+    runner2, _ = task_registry.make_alg_runner(
+        env, "GR1T1", train_cfg=train_cfg2, log_root=str(tmp_path / "exp")
+    )
+    assert runner2.current_learning_iteration == 7
+    np.testing.assert_array_equal(
+        np.asarray(runner2._loaded_state.ppo.params.std),
+        np.asarray(state.ppo.params.std),
+    )
+
+
 def test_resume_flow_uses_loaded_state(tmp_path):
     """task_registry resume path: load() must feed the state that learn()
     continues from (params + iteration counter)."""

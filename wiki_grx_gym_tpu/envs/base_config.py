@@ -180,6 +180,10 @@ class LeggedRobotCfg(BaseConfig):
         soft_torque_limit = 1.0
         base_height_target = 1.0
         max_contact_force = 100.0
+        # exp sharpness for the limits_actions term; the reference reads it
+        # (legged_robot_fftai.py:317) but never defines it in any config —
+        # a usable default completes the dormant API
+        sigma_limits_actions = -1.0
 
     class noise:
         add_noise = True
@@ -246,6 +250,9 @@ class LeggedRobotCfgPPO(BaseConfig):
         desired_kl = 0.01
         max_grad_norm = 1.0
         storage_class = "RolloutStorage"
+        # mirror-symmetry loss weight (rsl_rl ppo.py:96 scaffolding,
+        # completed in learn/symmetry.py); 0 disables the term
+        symmetry_coef = 0.0
 
     class policy:
         init_noise_std = 1.0

@@ -421,12 +421,19 @@ class LeggedEnv:
         """Per-joint action boxes (legged_robot_fftai.py:171-177)."""
         return jnp.clip(actions, self.clip_actions_min, self.clip_actions_max)
 
-    def _pd_torques(self, q, qd, actions, motor_strength):
-        """PD torque law (legged_robot.py:679-715), P mode."""
+    def _pd_torques(self, q, qd, actions, motor_strength, last_qd=None):
+        """PD torque law (legged_robot.py:679-715), P/V/T modes.
+
+        V mode's damping term uses the finite-difference joint acceleration
+        against the previous *policy* step's velocity over the sim dt,
+        faithful to the reference (legged_robot.py:698-701: ``last_dof_vel``
+        only updates in post_physics_step)."""
         c = self.cfg.control
         scaled = actions * c.action_scale
         if c.control_type == "P":
             tau = self.p_gains * (scaled + self.default_dof_pos - q) - self.d_gains * qd
+        elif c.control_type == "V":
+            tau = self.p_gains * (scaled - qd) - self.d_gains * (qd - last_qd) / self.sim_dt
         elif c.control_type == "T":
             tau = scaled
         else:
@@ -461,7 +468,9 @@ class LeggedEnv:
         def substep(carry, i):
             phys, accum_force, accum_vxyz, accum_vrpy, _ = carry
             use_act = jnp.where(i < delay, state.last_actions, actions)
-            tau = self._pd_torques(phys.q, phys.qd, use_act, state.motor_strength)
+            tau = self._pd_torques(
+                phys.q, phys.qd, use_act, state.motor_strength, last_qd=state.last_dof_vel
+            )
             phys, out = vstep(phys, tau, state.rand)
             # per-foot net force norm (N, F)
             foot_force = self._group_forces(out.point_force, self.feet_point_groups)
@@ -578,6 +587,7 @@ class LeggedEnv:
             base_ang_vel=base_ang_vel,
             base_projected_gravity=projected_gravity,
             base_heights_offset=base_heights_offset,
+            base_height=phys.base_pos[:, 2] - mean_heights,
             torso_projected_gravity=torso_pg,
             forehead_projected_gravity=forehead_pg,
             dof_pos=phys.q,
@@ -631,6 +641,22 @@ class LeggedEnv:
             "time_outs": time_out,
             "episode": episode_metrics,
             "done_count": jnp.sum(done_f),
+            # per-env raw metric channels. The runner accumulates these in
+            # the rollout carry and reduces them ONCE per iteration, so the
+            # compiled rollout phase contains zero cross-device collectives
+            # (the scalar "episode" means above are dead code under the
+            # training jit and get DCE'd).
+            "episode_done_sums": episode_sums * done_f[:, None],   # (N, R)
+            "ep_len_done": jnp.where(reset_buf, episode_length, 0).astype(jnp.float32),
+            # named eval channels — the counterparts of the env members the
+            # reference logger reads (`scripts/play.py:113-125`:
+            # env.base_lin_vel, env.base_ang_vel,
+            # env.contact_forces[:, feet_indices]). Dead code under the
+            # training jit (the runner never touches them), so they cost
+            # nothing there.
+            "base_lin_vel": base_lin_vel,
+            "base_ang_vel": base_ang_vel,
+            "feet_contact_force": feet_force,
         }
 
         # random pushes (legged_robot.py:786-797): all envs, via base velocity.
@@ -963,3 +989,9 @@ class LeggedEnv:
         n = self.num_envs
         state = self._reset_where(state, jnp.ones(n, bool))
         return self.step(state, jnp.zeros((n, self.num_actions)))
+
+    @functools.cached_property
+    def step_jit(self):
+        """Jitted :meth:`step`, compiled once per env instance and shared by
+        every standalone caller (runner init, play, tests)."""
+        return jax.jit(self.step)

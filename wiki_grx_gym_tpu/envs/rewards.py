@@ -31,6 +31,7 @@ class RewardContext(NamedTuple):
     base_ang_vel: jax.Array         # (N, 3) base frame
     base_projected_gravity: jax.Array  # (N, 3)
     base_heights_offset: jax.Array  # (N,) — pre-scaled by obs height scale (fftai:149-157)
+    base_height: jax.Array          # (N,) raw mean(base_z - measured_heights) (legged_robot.py:1291)
     torso_projected_gravity: jax.Array     # (N, 3)
     forehead_projected_gravity: jax.Array  # (N, 3)
     dof_pos: jax.Array              # (N, D)
@@ -358,6 +359,59 @@ def feet_contact_forces(env, ctx):
     return jnp.sum(over, axis=1)
 
 
+def base_height(env, ctx):
+    """legged_robot.py:1289-1292: squared distance of terrain-relative base
+    height from the target."""
+    return jnp.square(ctx.base_height - env.cfg.rewards.base_height_target)
+
+
+def dof_pos_limits(env, ctx):
+    """legged_robot.py:1317-1321: linear out-of-soft-limit excess (the soft
+    scaling of `_process_dof_props`, legged_robot.py:594-615, is baked into
+    ``env.dof_pos_soft_lower/upper``)."""
+    under = jnp.clip(ctx.dof_pos - env.dof_pos_soft_lower, a_max=0.0)
+    over = jnp.clip(ctx.dof_pos - env.dof_pos_soft_upper, a_min=0.0)
+    return jnp.sum(over - under, axis=1)
+
+
+def dof_vel_limits(env, ctx):
+    """legged_robot.py:1323-1326: velocity excess, clipped to 1 rad/s/joint."""
+    over = jnp.clip(
+        jnp.abs(ctx.dof_vel) - env.dof_vel_limits * env.cfg.rewards.soft_dof_vel_limit,
+        a_min=0.0,
+        a_max=1.0,
+    )
+    return jnp.sum(over, axis=1)
+
+
+def torque_limits(env, ctx):
+    """legged_robot.py:1328-1330."""
+    over = jnp.clip(
+        jnp.abs(ctx.torques) - env.torque_limits * env.cfg.rewards.soft_torque_limit,
+        a_min=0.0,
+    )
+    return jnp.sum(over, axis=1)
+
+
+def limits_actions(env, ctx):
+    """legged_robot_fftai.py:308-320: exp-shaped penalty on scaled actions
+    outside the soft dof position limits (note the reference compares the
+    scaled action directly, without the default-pose offset)."""
+    scaled = ctx.actions * env.cfg.control.action_scale
+    under = jnp.clip(scaled - env.dof_pos_soft_lower, a_max=0.0)
+    over = jnp.clip(scaled - env.dof_pos_soft_upper, a_min=0.0)
+    err = jnp.sum(jnp.square(over - under), axis=1)
+    return 1.0 - jnp.exp(env.cfg.rewards.sigma_limits_actions * err)
+
+
+def stumble(env, ctx):
+    """ETH stumble (legged_robot.py:1354-1357): any foot whose tangential
+    contact force exceeds 5x its normal force (hit a vertical surface)."""
+    fxy = jnp.linalg.norm(ctx.feet_contact_force[:, :, :2], axis=2)
+    fz = jnp.abs(ctx.feet_contact_force[:, :, 2])
+    return jnp.any(fxy > 5.0 * fz, axis=1).astype(jnp.float32)
+
+
 REWARDS = {
     "termination": termination,
     "collision": collision,
@@ -405,4 +459,10 @@ REWARDS = {
     "tracking_lin_vel": tracking_lin_vel,
     "tracking_ang_vel": tracking_ang_vel,
     "feet_contact_forces": feet_contact_forces,
+    "base_height": base_height,
+    "dof_pos_limits": dof_pos_limits,
+    "dof_vel_limits": dof_vel_limits,
+    "torque_limits": torque_limits,
+    "limits_actions": limits_actions,
+    "stumble": stumble,
 }

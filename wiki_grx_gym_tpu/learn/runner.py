@@ -60,7 +60,15 @@ class OnPolicyRunner:
             num_actions=env.num_actions,
             policy_cfg=self.policy_cfg,
         )
-        self.alg = PPO(self.net, self.alg_cfg)
+        # mirror-symmetry loss through PPO's calculate_other_loss hook
+        # (on_policy_runner.py:161-167; completed in learn/symmetry.py)
+        extra_loss_fn = None
+        symmetry_coef = float(getattr(self.alg_cfg, "symmetry_coef", 0.0))
+        if symmetry_coef > 0.0:
+            from wiki_grx_gym_tpu.learn.symmetry import make_mirror_loss
+
+            extra_loss_fn = make_mirror_loss(env, self.net, symmetry_coef)
+        self.alg = PPO(self.net, self.alg_cfg, extra_loss_fn=extra_loss_fn)
 
         self.writer = None
         self.tot_timesteps = 0
@@ -89,8 +97,9 @@ class OnPolicyRunner:
             )
         params = self.net.init(k_net)
         ppo_state = self.alg.init(params)
-        # initial observations: one zero-action step (BaseTask.reset semantics)
-        env_state, out = jax.jit(self.env.step)(
+        # initial observations: one zero-action step (BaseTask.reset semantics);
+        # the jitted step is cached on the env so play/tests share the compile
+        env_state, out = self.env.step_jit(
             env_state, jnp.zeros((self.env.num_envs, self.env.num_actions))
         )
         state = RunnerState(
@@ -114,8 +123,10 @@ class OnPolicyRunner:
         env, net, alg = self.env, self.net, self.alg
         key, k_update = jax.random.split(state.rng)
 
+        params = state.ppo.params
+
         def rollout_step(carry, _):
-            env_state, obs, critic_obs, params, key = carry
+            env_state, obs, critic_obs, key = carry
             key, k_act = jax.random.split(key)
             actions, logp, mu, sigma = net.act(params, obs, k_act)
             values = net.evaluate(params, critic_obs)
@@ -141,16 +152,16 @@ class OnPolicyRunner:
                     jnp.where(out.reset, env_state.episode_length, 0).astype(jnp.float32)
                 ),
             }
-            return (env_state, obs * 0 + out.obs, out.pri_obs, params, key), (trans, metrics)
+            return (env_state, out.obs, out.pri_obs, key), (trans, metrics)
 
-        (env_state, obs, critic_obs, _, key), (batch, roll_metrics) = jax.lax.scan(
+        (env_state, obs, critic_obs, key), (batch, roll_metrics) = jax.lax.scan(
             rollout_step,
-            (state.env_state, state.obs, state.critic_obs, state.ppo.params, key),
+            (state.env_state, state.obs, state.critic_obs, key),
             None,
             length=self.num_steps_per_env,
         )
 
-        last_values = net.evaluate(state.ppo.params, critic_obs)
+        last_values = net.evaluate(params, critic_obs)
         returns, advantages = alg.compute_returns(batch, last_values)
         ppo_state, update_metrics = alg.update(state.ppo, batch, returns, advantages, k_update)
 

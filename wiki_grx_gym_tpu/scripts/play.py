@@ -66,14 +66,21 @@ def play(args, num_steps: int = 500, export: bool = True):
 
     logger = EvalLogger(env.dt)
     env_state, obs = state.env_state, state.obs
-    step = jax.jit(env.step)
+    step = env.step_jit
     robot_index = getattr(args, "robot_index", 0)
-    joint_index = 2
+    # log a knee joint when the robot has one (the interesting tracking
+    # channel for GRx gaits), else the reference's hard-coded joint 1
+    # (play.py:88)
+    knees = [i for i, nm in enumerate(env.model.dof_names) if "knee" in nm]
+    joint_index = knees[0] if knees else min(1, env.num_dof - 1)
 
     for i in range(num_steps):
         actions = policy(obs)
         env_state, out = step(env_state, actions)
         obs = out.obs
+        # base velocities / contact forces come from the named eval channels
+        # in extras — the counterparts of env.base_lin_vel / env.contact_forces
+        # the reference logger reads (play.py:120-125)
         logger.log_states(
             {
                 "dof_pos_target": float(actions[robot_index, joint_index])
@@ -84,10 +91,12 @@ def play(args, num_steps: int = 500, export: bool = True):
                 "command_x": float(env_state.commands[robot_index, 0]),
                 "command_y": float(env_state.commands[robot_index, 1]),
                 "command_yaw": float(env_state.commands[robot_index, 2]),
-                "base_vel_x": float(out.pri_obs[robot_index, env.obs_dim + 0]),
-                "base_vel_y": float(out.pri_obs[robot_index, env.obs_dim + 1]),
+                "base_vel_x": float(out.extras["base_lin_vel"][robot_index, 0]),
+                "base_vel_y": float(out.extras["base_lin_vel"][robot_index, 1]),
+                "base_vel_z": float(out.extras["base_lin_vel"][robot_index, 2]),
+                "base_vel_yaw": float(out.extras["base_ang_vel"][robot_index, 2]),
                 "contact_forces_z": np.asarray(
-                    out.pri_obs[robot_index, env.obs_dim + 4 : env.obs_dim + 6]
+                    out.extras["feet_contact_force"][robot_index, :, 2]
                 ),
             }
         )

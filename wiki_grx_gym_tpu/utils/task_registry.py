@@ -111,9 +111,22 @@ def get_load_path(root, load_run=-1, checkpoint=-1):
     if checkpoint == -1:
         models = [f for f in os.listdir(load_run) if "model" in f]
         models.sort(key=lambda m: f"{m:0>15}")
+        if not models:
+            raise ValueError(f"No checkpoints in run directory: {load_run}")
         model = models[-1]
     else:
-        model = f"model_{checkpoint}.pt"
+        # checkpoints are orbax directories named model_<iteration> (see
+        # OnPolicyRunner.save); the reference's `.pt` suffix
+        # (helpers.py:125-128) does not apply here
+        model = f"model_{checkpoint}"
+        if not os.path.isdir(os.path.join(load_run, model)):
+            available = sorted(
+                f for f in os.listdir(load_run) if f.startswith("model_")
+            )
+            raise ValueError(
+                f"Checkpoint {checkpoint!r} not found in {load_run}; "
+                f"available: {available}"
+            )
     return os.path.join(load_run, model)
 
 
