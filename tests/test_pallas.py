@@ -1,0 +1,204 @@
+"""Pallas kernel-wrapper equivalence.
+
+The scalarized *math* is oracle-tested in tests/test_scalarized.py; this
+file checks the Pallas layer on top: component packing, (8,128)-tile
+layout, env padding, and the kernel body itself (interpret mode on CPU —
+with a shortened decimation so the interpreter finishes in seconds).
+
+The full env.step kernel-vs-scan equivalence on real hardware is exercised
+by test_env_step_pallas_matches_scan_on_tpu (runs whenever a TPU backend is
+present; measured max deviation 1.4e-4 on v5e, see docs/STATUS.md)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wiki_grx_gym_tpu.envs import task_registry
+from wiki_grx_gym_tpu.sim.engine import BodyRandomization, PhysicsState
+from wiki_grx_gym_tpu.sim.pallas_step import PallasDecimation
+from wiki_grx_gym_tpu.sim.scalarized import (
+    ScalarDecimation,
+    ScalarSubstep,
+    lanes_to_state,
+    state_to_lanes,
+)
+
+
+@pytest.fixture(scope="module")
+def env():
+    env_cfg, _ = task_registry.get_cfgs("GR1T1")
+    env_cfg.env.num_envs = 8
+    e, _ = task_registry.make_env("GR1T1", env_cfg=env_cfg)
+    return e
+
+
+def _random_inputs(env, n, seed=0):
+    rng = np.random.RandomState(seed)
+    m = env.model
+    quat = rng.randn(n, 4).astype(np.float32) * 0.1 + np.array([0, 0, 0, 1], np.float32)
+    quat /= np.linalg.norm(quat, axis=-1, keepdims=True)
+    phys = PhysicsState(
+        base_pos=jnp.asarray(
+            np.concatenate(
+                [rng.randn(n, 2).astype(np.float32),
+                 (0.9 + 0.1 * rng.rand(n, 1)).astype(np.float32)], axis=-1
+            )
+        ),
+        base_quat=jnp.asarray(quat),
+        base_lin_vel=jnp.asarray(rng.randn(n, 3).astype(np.float32)),
+        base_ang_vel=jnp.asarray(rng.randn(n, 3).astype(np.float32)),
+        q=jnp.asarray(
+            np.asarray(env.default_dof_pos)[None]
+            + rng.randn(n, m.num_dof).astype(np.float32) * 0.2
+        ),
+        qd=jnp.asarray(rng.randn(n, m.num_dof).astype(np.float32)),
+        anchor=jnp.asarray(rng.randn(n, m.num_points, 3).astype(np.float32) * 0.01),
+    )
+    actions = jnp.asarray(rng.randn(n, env.num_dof).astype(np.float32) * 0.3)
+    last_actions = jnp.asarray(rng.randn(n, env.num_dof).astype(np.float32) * 0.3)
+    motor = jnp.asarray(0.9 + 0.2 * rng.rand(n, env.num_dof).astype(np.float32))
+    delay = jnp.asarray(rng.rand(n).astype(np.float32) * 2.0)
+    rand = BodyRandomization(
+        friction=jnp.asarray(0.5 + rng.rand(n).astype(np.float32)),
+        restitution=jnp.asarray(rng.rand(n).astype(np.float32) * 0.3),
+        base_mass_scale=jnp.asarray(0.9 + 0.2 * rng.rand(n).astype(np.float32)),
+        base_com_offset=jnp.asarray(rng.randn(n, 3).astype(np.float32) * 0.02),
+    )
+    return phys, actions, last_actions, motor, delay, rand
+
+
+def _make_deci(env, decimation):
+    sub = ScalarSubstep(env.model, env.contact_params, env.sim_dt, env.self_pairs)
+    return ScalarDecimation(
+        sub, decimation, env.cfg.control.control_type,
+        env.cfg.control.action_scale, np.asarray(env.p_gains),
+        np.asarray(env.d_gains), np.asarray(env.default_dof_pos),
+        np.asarray(env.torque_limits), env.feet_bodies, env.feet_point_groups,
+    )
+
+
+class _FakeRef:
+    """Array-backed stand-in for a pl.Ref: lets the kernel body run as plain
+    eager jnp ops (the Pallas interpreter's per-op overhead makes even a
+    3-substep kernel take many minutes on CPU; this isolates the same code
+    path minus the pallas_call machinery, which the TPU test covers)."""
+
+    def __init__(self, arr):
+        self.arr = arr
+
+    def __getitem__(self, idx):
+        return self.arr[idx]
+
+    def __setitem__(self, idx, val):
+        self.arr = self.arr.at[idx].set(val)
+
+
+def test_pallas_wrapper_matches_scalar_eager(env):
+    """Kernel body + component packing/unpacking (incl. 1024-env padding)
+    against ScalarDecimation run directly on (N,) lanes."""
+    from wiki_grx_gym_tpu.sim import pallas_step as ps
+
+    n = 8
+    deci = _make_deci(env, decimation=3)
+    pall = PallasDecimation(deci, interpret=True)
+    phys, actions, last_actions, motor, delay, rand = _random_inputs(env, n)
+
+    with jax.disable_jit():
+        comp, nb, n_real = pall._pack(
+            phys, actions, last_actions, motor, delay, rand, None
+        )
+        assert nb == 1 and n_real == n
+        in_ref = _FakeRef(comp[:, 0:1].reshape(pall.c_in, 1, ps._SUB, ps._LANE))
+        out_ref = _FakeRef(
+            jnp.zeros((pall.c_out, 1, ps._SUB, ps._LANE), jnp.float32)
+        )
+        pall._kernel(in_ref, out_ref)
+        flat = out_ref.arr.reshape(pall.c_out, ps.ENV_BLOCK)[:, :n]
+
+        def take(name):
+            off, cnt = pall.out_off[name]
+            return flat[off: off + cnt].T
+
+        got = (
+            phys.replace(
+                base_pos=take("pos"), base_quat=take("quat"),
+                base_lin_vel=take("lin"), base_ang_vel=take("ang"),
+                q=take("q"), qd=take("qd"),
+                anchor=take("anchor").reshape(n, pall.np_, 3),
+            ),
+            take("force_sum"),
+            take("vxyz_sum").reshape(n, pall.nf, 3),
+            take("vrpy_sum").reshape(n, pall.nf, 3),
+            take("tau"),
+            take("point_force").reshape(n, pall.np_, 3),
+        )
+
+        lanes = state_to_lanes(phys)
+        lanes.update(
+            friction=rand.friction, restitution=rand.restitution,
+            mass_scale=rand.base_mass_scale,
+            com_offset=[rand.base_com_offset[..., k] for k in range(3)],
+        )
+        want_lanes, acc = deci.run(
+            lanes,
+            [actions[..., i] for i in range(env.num_dof)],
+            [last_actions[..., i] for i in range(env.num_dof)],
+            [motor[..., i] for i in range(env.num_dof)],
+            delay,
+        )
+    want_phys = lanes_to_state(want_lanes, PhysicsState)
+
+    for name in ("base_pos", "base_quat", "base_lin_vel", "base_ang_vel", "q", "qd", "anchor"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got[0], name)), np.asarray(getattr(want_phys, name)),
+            rtol=1e-5, atol=1e-6, err_msg=name,
+        )
+    np.testing.assert_allclose(
+        np.asarray(got[1]), np.asarray(jnp.stack(acc["force_sum"], axis=-1)),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[4]), np.asarray(jnp.stack(acc["tau"], axis=-1)),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[5]),
+        np.asarray(jnp.stack([jnp.stack(p, axis=-1) for p in acc["point_force"]], axis=-2)),
+        rtol=1e-5, atol=1e-4,
+    )
+
+
+def test_pallas_auto_gating(env):
+    # auto on CPU -> scan backend
+    assert env._pallas_mode() is None
+    # forcing on with heightfield terrain raises (in-kernel lookups not done)
+    cfg2, _ = task_registry.get_cfgs("GR1T1")
+    cfg2.env.num_envs = 4
+    cfg2.terrain.mesh_type = "heightfield"
+    cfg2.sim.use_pallas = True
+    env2, _ = task_registry.make_env("GR1T1", env_cfg=cfg2)
+    with pytest.raises(NotImplementedError):
+        env2._pallas_mode()
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs a TPU")
+def test_env_step_pallas_matches_scan_on_tpu():
+    """Compiled Mosaic kernel vs engine scan through the full env.step."""
+    n = 2048
+
+    def build(use_pallas):
+        env_cfg, _ = task_registry.get_cfgs("GR1T1")
+        env_cfg.env.num_envs = n
+        env_cfg.sim.use_pallas = use_pallas
+        e, _ = task_registry.make_env("GR1T1", env_cfg=env_cfg)
+        return e
+
+    env_scan, env_pl = build(False), build(True)
+    s0 = env_scan.init_state(jax.random.PRNGKey(0))
+    s1 = env_pl.init_state(jax.random.PRNGKey(0))
+    actions = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (n, env_scan.num_actions))
+    s0, o0 = env_scan.step_jit(s0, actions)
+    s1, o1 = env_pl.step_jit(s1, actions)
+    np.testing.assert_allclose(np.asarray(o1.obs), np.asarray(o0.obs), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(o1.rew), np.asarray(o0.rew), atol=5e-4)

@@ -73,6 +73,16 @@ class LeggedRobotCfg(BaseConfig):
         contact_point_mass = 0.25       # kg; caps damping/friction impulses
         slip_velocity = 1e-5
         contact_tangent_stiffness = 1.0e4  # anchored stick friction; 0 = viscous
+        # URDF joint-limit enforcement (PhysX does this as hard constraints):
+        # max limit violation in rad when driven at full effort; 0 disables
+        joint_limit_violation = 0.05
+        # sphere-sphere self-collision spring (stiffer than the ground so
+        # driven limb-limb contact stays under ~5 mm penetration)
+        contact_self_collision_stiffness = 1.0e5
+        # physics hot-loop backend: "auto" = Pallas VMEM mega-kernel on TPU
+        # for plane terrain (sim/pallas_step.py), XLA lax.scan elsewhere;
+        # True/False force it ("interpret" = Pallas interpreter, tests only)
+        use_pallas = "auto"
 
     class env:
         num_envs = 4096
@@ -253,6 +263,9 @@ class LeggedRobotCfgPPO(BaseConfig):
         # mirror-symmetry loss weight (rsl_rl ppo.py:96 scaffolding,
         # completed in learn/symmetry.py); 0 disables the term
         symmetry_coef = 0.0
+        # minibatch-shuffle locality groups; 0 = auto (dp mesh size), so the
+        # PPO update performs zero cross-device gathers (learn/ppo.py)
+        permutation_groups = 0
 
     class policy:
         init_noise_std = 1.0
@@ -262,3 +275,8 @@ class LeggedRobotCfgPPO(BaseConfig):
         activation = "elu"
         actor_output_activation = None
         critic_output_activation = None
+        # recurrent policy (learn/recurrent.py; upstream rsl_rl knob names):
+        # rnn_type "lstm" switches runner+PPO to the trajectory-aware path
+        rnn_type = None
+        rnn_hidden_size = 256
+        rnn_num_layers = 1

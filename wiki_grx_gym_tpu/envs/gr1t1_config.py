@@ -376,3 +376,18 @@ class GR1T1LowerLimbCfgPPO(GR1T1CfgPPO):
 
     class policy(GR1T1CfgPPO.policy):
         pass
+
+
+class GR1T1LowerLimbCfgPPOLstm(GR1T1LowerLimbCfgPPO):
+    """Recurrent variant: LSTM memories ahead of the MLP heads
+    (learn/recurrent.py; completes the reference's dormant LSTM scaffolding,
+    rsl_rl utils.py:10-57 + helpers.py:204-231)."""
+
+    class runner(GR1T1LowerLimbCfgPPO.runner):
+        run_name = "gr1t1_lower_limb_lstm"
+        experiment_name = "GR1T1_lstm"
+
+    class policy(GR1T1LowerLimbCfgPPO.policy):
+        rnn_type = "lstm"
+        rnn_hidden_size = 256
+        rnn_num_layers = 1

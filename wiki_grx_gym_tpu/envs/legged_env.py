@@ -222,6 +222,8 @@ class LeggedEnv:
             point_mass=c.sim.contact_point_mass,
             slip_velocity=c.sim.slip_velocity,
             tangent_stiffness=getattr(c.sim, "contact_tangent_stiffness", 1.0e4),
+            joint_limit_violation=getattr(c.sim, "joint_limit_violation", 0.05),
+            self_collision_stiffness=getattr(c.sim, "contact_self_collision_stiffness", 1.0e5),
         )
 
         # --- reward selection (legged_robot.py:840-866): drop zero scales,
@@ -441,21 +443,54 @@ class LeggedEnv:
         tau = tau * motor_strength
         return jnp.clip(tau, -self.torque_limits, self.torque_limits)
 
-    def step(self, state: EnvState, actions: jax.Array) -> Tuple[EnvState, StepOutput]:
-        c = self.cfg
-        n, f = self.num_envs, self.num_feet
-        key, k_delay, k_noise, k_cmd, k_reset, k_push = jax.random.split(state.rng, 6)
+    # ------------------------------------------------------------------
+    # decimation-loop backends
+    # ------------------------------------------------------------------
 
-        actions = self.clip_actions(actions)
+    def _pallas_mode(self):
+        """None (XLA scan), "compiled", or "interpret" (see cfg.sim.use_pallas)."""
+        up = getattr(self.cfg.sim, "use_pallas", "auto")
+        if up is False or up == "off":
+            return None
+        if self.terrain is not None:
+            # in-kernel heightfield lookups not supported yet; auto falls back
+            if up == "auto":
+                return None
+            raise NotImplementedError("Pallas decimation supports plane terrain only")
+        if up == "interpret":
+            return "interpret"
+        if up is True or up == "on":
+            return "compiled"
+        return "compiled" if jax.default_backend() == "tpu" else None
 
-        # ---- decimation loop (fftai during_physics_step :51-88) ----
-        if c.control.actuation_delay:
-            delay = c.control.actuation_delay_mean + c.control.actuation_delay_std * (
-                jax.random.normal(k_delay, (n, 1))
+    @functools.cached_property
+    def _pallas_decimation(self):
+        from wiki_grx_gym_tpu.sim.pallas_step import PallasDecimation
+        from wiki_grx_gym_tpu.sim.scalarized import ScalarDecimation, ScalarSubstep
+
+        sub = ScalarSubstep(self.model, self.contact_params, self.sim_dt, self.self_pairs)
+        deci = ScalarDecimation(
+            sub, self.decimation, self.cfg.control.control_type,
+            self.cfg.control.action_scale, np.asarray(self.p_gains),
+            np.asarray(self.d_gains), np.asarray(self.default_dof_pos),
+            np.asarray(self.torque_limits), self.feet_bodies, self.feet_point_groups,
+        )
+        return PallasDecimation(deci, interpret=self._pallas_mode() == "interpret")
+
+    def _run_decimation(self, state: EnvState, actions: jax.Array, delay: jax.Array):
+        """Dispatch the hot loop: Pallas VMEM mega-kernel (plane terrain) or
+        the vmapped-engine lax.scan. Identical outputs
+        (tests/test_pallas.py)."""
+        if self._pallas_mode() is not None:
+            return self._pallas_decimation(
+                state.physics, actions, state.last_actions, state.motor_strength,
+                delay[:, 0], state.rand,
+                last_qd=state.last_dof_vel,
             )
-            delay = jnp.maximum(delay, 0.0)
-        else:
-            delay = jnp.zeros((n, 1))
+        return self._decimation_scan(state, actions, delay)
+
+    def _decimation_scan(self, state: EnvState, actions: jax.Array, delay: jax.Array):
+        n, f = self.num_envs, self.num_feet
 
         def one_substep(phys, tau, rand):
             return physics_step(
@@ -492,6 +527,27 @@ class LeggedEnv:
         )
         (phys, sum_force, sum_vxyz, sum_vrpy, (torques, point_force)), _ = jax.lax.scan(
             substep, init, jnp.arange(self.decimation, dtype=jnp.float32)
+        )
+        return phys, sum_force, sum_vxyz, sum_vrpy, torques, point_force
+
+    def step(self, state: EnvState, actions: jax.Array) -> Tuple[EnvState, StepOutput]:
+        c = self.cfg
+        n, f = self.num_envs, self.num_feet
+        key, k_delay, k_noise, k_cmd, k_reset, k_push = jax.random.split(state.rng, 6)
+
+        actions = self.clip_actions(actions)
+
+        # ---- decimation loop (fftai during_physics_step :51-88) ----
+        if c.control.actuation_delay:
+            delay = c.control.actuation_delay_mean + c.control.actuation_delay_std * (
+                jax.random.normal(k_delay, (n, 1))
+            )
+            delay = jnp.maximum(delay, 0.0)
+        else:
+            delay = jnp.zeros((n, 1))
+
+        phys, sum_force, sum_vxyz, sum_vrpy, torques, point_force = self._run_decimation(
+            state, actions, delay
         )
         avg_feet_contact_force = sum_force / self.decimation
         avg_feet_speed_xyz = sum_vxyz / self.decimation
@@ -753,6 +809,37 @@ class LeggedEnv:
                     pi.append(a)
                     pj.append(b)
         return (tuple(pi), tuple(pj))
+
+    def self_pair_report(self):
+        """Audit of self-collision pair selection: (included, excluded)
+        lists of (point_i, point_j, default_gap_m) over all cross-limb
+        candidates. Excluded pairs are those inside the default-pose margin
+        — permanently invisible to the contact solver, so this list should
+        be empty (it is for the GRx models; tests/test_env.py asserts it)."""
+        model = self.model
+
+        def limb_root(body):
+            while body > 0 and model.parent[body] != 0:
+                body = model.parent[body]
+            return body
+
+        kin = forward_kinematics(
+            model, jnp.asarray([0.0, 0.0, 0.0, 1.0]), jnp.zeros(3), jnp.zeros(3),
+            self.default_dof_pos, jnp.zeros(model.num_dof),
+        )
+        pb = jnp.asarray(model.point_body, jnp.int32)
+        pos = np.asarray(kin.pos_rel[pb] + maths.quat_apply(kin.quat[pb], model.point_offset))
+        radius = np.asarray(model.point_radius)
+        included_set = set(zip(*self.self_pairs))
+        included, excluded = [], []
+        for a in range(model.num_points):
+            for b in range(a + 1, model.num_points):
+                ba, bb = model.point_body[a], model.point_body[b]
+                if ba == 0 or bb == 0 or limb_root(ba) == limb_root(bb):
+                    continue
+                gap = float(np.linalg.norm(pos[a] - pos[b]) - (radius[a] + radius[b]))
+                (included if (a, b) in included_set else excluded).append((a, b, gap))
+        return included, excluded
 
     @staticmethod
     def _group_forces(point_force: jax.Array, groups) -> jax.Array:

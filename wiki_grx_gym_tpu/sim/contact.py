@@ -50,6 +50,15 @@ class ContactParams:
     # anchored (stick) friction: tangential spring to a per-point anchor that
     # slips along the Coulomb cone. 0 disables (pure capped-viscous friction).
     tangent_stiffness: float = struct.field(pytree_node=False, default=1.0e4)  # N/m
+    # joint position limits (PhysX enforces URDF limits as hard constraints;
+    # here a stiff effort-scaled penalty): a joint driven at its full effort
+    # limit penetrates its bound by at most this many radians. 0 disables.
+    joint_limit_violation: float = struct.field(pytree_node=False, default=0.05)  # rad
+    # sphere-sphere self-collision spring: stiffer than the ground spring so
+    # full hip torque pressing the legs together stays under ~5 mm
+    # penetration (limb-limb effective masses are kg-scale, so this is well
+    # inside the explicit-integration stability bound at dt=0.002)
+    self_collision_stiffness: float = struct.field(pytree_node=False, default=1.0e5)  # N/m
 
 
 def ground_normal(height_fn: HeightFn, x: jax.Array, y: jax.Array, eps: float = 0.05):
@@ -156,10 +165,11 @@ def self_collision_forces(
     rel_v = vel[ii] - vel[jj]
     v_n = jnp.sum(rel_v * n, axis=-1)
     imp_cap = params.point_mass / dt
+    k_self = params.self_collision_stiffness
     d_n = jnp.minimum(
-        2.0 * params.damping_ratio * jnp.sqrt(params.stiffness * params.point_mass), imp_cap
+        2.0 * params.damping_ratio * jnp.sqrt(k_self * params.point_mass), imp_cap
     )
-    f_mag = jnp.maximum(params.stiffness * jnp.minimum(pen, 0.1) - d_n * v_n, 0.0)
+    f_mag = jnp.maximum(k_self * jnp.minimum(pen, 0.1) - d_n * v_n, 0.0)
     f = jnp.where(active, f_mag, 0.0)[..., None] * n   # force on point i (+n), on j (-n)
 
     # accumulate per point via a static padded incidence table (a scatter-add

@@ -108,6 +108,18 @@ def physics_step(
     fixed_base: bool = False,
     self_pairs: tuple = ((), ()),   # static (pairs_i, pairs_j) for self-collision
 ) -> tuple[PhysicsState, PhysicsOutput]:
+    # joint position limits (legged_robot.py:594-615 reads them from the
+    # URDF; PhysX enforces them as hard constraints). Effort-scaled penalty:
+    # k_i = effort_i / joint_limit_violation, with velocity damping 2*k*dt
+    # active only inside the violation — stable at dt=0.002 for the GRx
+    # inertias (w*dt < 0.3 for every joint).
+    if contact_params.joint_limit_violation > 0.0 and model.num_dof:
+        k_lim = model.dof_effort_limit / contact_params.joint_limit_violation
+        over = jnp.maximum(state.q - model.dof_upper, 0.0)
+        under = jnp.maximum(model.dof_lower - state.q, 0.0)
+        violating = ((over > 0.0) | (under > 0.0)).astype(state.q.dtype)
+        tau = tau + k_lim * (under - over) - (2.0 * k_lim * dt) * state.qd * violating
+
     kin = forward_kinematics(
         model, state.base_quat, state.base_ang_vel, state.base_lin_vel, state.q, state.qd
     )
