@@ -1,0 +1,139 @@
+"""Multi-chip correctness: collective-traffic contracts (inspected from
+compiled HLO) and dp1-vs-dp8 numerical equivalence (VERDICT round-1 item 2;
+the SURVEY §2.6 contract: zero collectives in the physics/rollout phase,
+gradient all-reduce only in the update)."""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wiki_grx_gym_tpu.envs import task_registry
+from wiki_grx_gym_tpu.learn.runner import OnPolicyRunner
+from wiki_grx_gym_tpu.parallel.mesh import make_mesh
+from wiki_grx_gym_tpu.parallel.sharding import shard_runner_state
+
+_COLLECTIVES = re.compile(
+    r"\b(all-reduce|all-gather|all-to-all|collective-permute|reduce-scatter)\b"
+)
+
+
+def _make(n_envs, mesh=None, perm_groups=0, steps=4):
+    env_cfg, train_cfg = task_registry.get_cfgs("GR1T1")
+    env_cfg.env.num_envs = n_envs
+    train_cfg.runner.num_steps_per_env = steps
+    train_cfg.algorithm.num_mini_batches = 2
+    train_cfg.algorithm.num_learning_epochs = 1
+    train_cfg.algorithm.permutation_groups = perm_groups
+    env, _ = task_registry.make_env("GR1T1", env_cfg=env_cfg)
+    runner = OnPolicyRunner(env, train_cfg, log_dir=None, mesh=mesh)
+    return env, runner
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert jax.device_count() >= 8, "conftest must fake 8 host devices"
+    return make_mesh(num_mp=1, devices=jax.devices()[:8])
+
+
+def test_rollout_phase_has_zero_collectives(mesh8):
+    """The compiled 16-step rollout (policy fwd + physics + storage) over a
+    dp8 mesh must contain no cross-device communication at all — envs are
+    independent and metric reductions are deferred to the learn phase."""
+    env, runner = _make(16, mesh=mesh8)
+    state = runner.init_state()
+    state = shard_runner_state(state, mesh8, env.num_envs)
+
+    lowered = jax.jit(runner._rollout).lower(
+        state.env_state, state.obs, state.critic_obs, state.ppo.params, state.rng
+    )
+    hlo = lowered.compile().as_text()
+    found = sorted(set(_COLLECTIVES.findall(hlo)))
+    assert not found, f"rollout phase emits collectives: {found}"
+
+
+def test_update_phase_has_no_gather_collectives(mesh8):
+    """The PPO update on a dp8 mesh may all-reduce (gradients, scalar loss
+    means) but must not all-gather/all-to-all — the group-local minibatch
+    permutation keeps every batch gather on-device."""
+    env, runner = _make(16, mesh=mesh8)
+    assert runner.alg.perm_groups == 8  # auto = dp size
+    state = runner.init_state()
+    state = shard_runner_state(state, mesh8, env.num_envs)
+
+    t, n = runner.num_steps_per_env, env.num_envs
+    from wiki_grx_gym_tpu.learn.ppo import Transition
+
+    def update_only(ppo_state, batch, returns, advantages, key):
+        return runner.alg.update(ppo_state, batch, returns, advantages, key)
+
+    # batch shaped/sharded exactly as the rollout produces it
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    env_sh = NamedSharding(mesh8, P(None, "dp"))
+
+    def mk(shape):
+        return jax.device_put(jnp.zeros(shape), env_sh)
+
+    obs_d, pri_d, act_d = env.obs_dim, env.pri_obs_dim, env.num_actions
+    batch = Transition(
+        obs=jax.device_put(jnp.zeros((t, n, obs_d)), NamedSharding(mesh8, P(None, "dp", None))),
+        critic_obs=jax.device_put(
+            jnp.zeros((t, n, pri_d)), NamedSharding(mesh8, P(None, "dp", None))
+        ),
+        actions=jax.device_put(
+            jnp.zeros((t, n, act_d)), NamedSharding(mesh8, P(None, "dp", None))
+        ),
+        rewards=mk((t, n)),
+        dones=mk((t, n)),
+        values=mk((t, n)),
+        log_prob=mk((t, n)),
+        mu=jax.device_put(jnp.zeros((t, n, act_d)), NamedSharding(mesh8, P(None, "dp", None))),
+        sigma=jax.device_put(
+            jnp.ones((t, n, act_d)), NamedSharding(mesh8, P(None, "dp", None))
+        ),
+    )
+    hlo = (
+        jax.jit(update_only)
+        .lower(state.ppo, batch, mk((t, n)), mk((t, n)), jax.random.PRNGKey(0))
+        .compile()
+        .as_text()
+    )
+    found = sorted(set(_COLLECTIVES.findall(hlo)))
+    assert "all-gather" not in found, f"update gathers batch across devices: {found}"
+    assert "all-to-all" not in found, f"update reshuffles batch across devices: {found}"
+
+
+def test_dp1_vs_dp8_training_step_equivalence(mesh8):
+    """The same seed must produce the same training step whether the program
+    runs replicated on one device or sharded over eight (permutation groups
+    pinned to 8 in both so the minibatch composition matches)."""
+    mesh1 = make_mesh(num_mp=1, devices=jax.devices()[:1])
+
+    results = {}
+    for name, mesh in (("dp1", mesh1), ("dp8", mesh8)):
+        env, runner = _make(16, mesh=mesh, perm_groups=8)
+        state = runner.init_state(init_at_random_ep_len=True)
+        state = shard_runner_state(state, mesh, env.num_envs)
+        state, metrics = runner._train_iter(state)
+        state, metrics = runner._train_iter(state)
+        results[name] = (
+            jax.device_get(
+                {k: v for k, v in metrics.items() if getattr(v, "ndim", 1) == 0}
+            ),
+            jax.device_get(jax.tree.leaves(state.ppo.params)),
+        )
+
+    m1, p1 = results["dp1"]
+    m8, p8 = results["dp8"]
+    # float32 reduction-order noise across two chained iterations bounds the
+    # achievable tolerance; anything beyond ~1e-5 would indicate real
+    # sharding corruption
+    for k in ("value_loss", "surrogate_loss", "kl", "mean_step_reward", "done_count"):
+        np.testing.assert_allclose(m1[k], m8[k], rtol=2e-5, atol=5e-6, err_msg=k)
+    # Adam's per-parameter normalization amplifies reduction-order noise in
+    # near-zero gradients, so params get a slightly looser atol
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)

@@ -8,6 +8,7 @@ from wiki_grx_gym_tpu.envs.gr1t1_config import (  # noqa: F401
     GR1T1CfgPPO as GR1T1FullCfgPPO,
     GR1T1LowerLimbCfg,
     GR1T1LowerLimbCfgPPO,
+    GR1T1LowerLimbCfgPPOLstm,
 )
 from wiki_grx_gym_tpu.envs.gr1t2_config import (  # noqa: F401
     GR1T2Cfg as GR1T2FullCfg,
@@ -25,3 +26,4 @@ task_registry.register("GR1T1_lower_limb", LeggedEnv, GR1T1LowerLimbCfg, GR1T1Lo
 task_registry.register("GR1T2_lower_limb", LeggedEnv, GR1T2LowerLimbCfg, GR1T2LowerLimbCfgPPO)
 task_registry.register("GR1T1_full", LeggedEnv, GR1T1FullCfg, GR1T1FullCfgPPO)
 task_registry.register("GR1T2_full", LeggedEnv, GR1T2FullCfg, GR1T2FullCfgPPO)
+task_registry.register("GR1T1_lstm", LeggedEnv, GR1T1LowerLimbCfg, GR1T1LowerLimbCfgPPOLstm)

@@ -51,14 +51,23 @@ class PPOState:
 
 
 class PPO:
-    def __init__(self, net: ActorCritic, alg_cfg, extra_loss_fn=None):
+    def __init__(self, net: ActorCritic, alg_cfg, extra_loss_fn=None, perm_groups: int = 1):
         """``extra_loss_fn(params, minibatch) -> scalar`` is the extension
         hook the reference exposes as ``calculate_other_loss``
         (ppo.py:289-295,323-324) for imitation/symmetry losses — e.g. a
-        mirror-symmetry loss built from `learn/utils.swap_lr`."""
+        mirror-symmetry loss built from `learn/utils.swap_lr`.
+
+        ``perm_groups``: number of env groups the minibatch shuffle is local
+        to. With ``perm_groups`` a multiple of the dp mesh size, every
+        minibatch gather stays on-device (operand sharded over the group
+        axis, indices replicated) and each minibatch draws equally from
+        every group — zero cross-dp traffic in the update besides the
+        gradient all-reduce. 1 == the reference's global shuffle
+        (base_storage.py:157-198)."""
         self.net = net
         self.cfg = alg_cfg
         self.extra_loss_fn = extra_loss_fn
+        self.perm_groups = int(perm_groups)
         self.gamma = float(alg_cfg.gamma)
         self.lam = float(alg_cfg.lam)
         self.clip_param = float(alg_cfg.clip_param)
@@ -178,36 +187,59 @@ class PPO:
     def update(
         self, ppo_state: PPOState, batch: Transition, returns, advantages, key
     ) -> Tuple[PPOState, Dict[str, jax.Array]]:
-        """Epochs x minibatches over the flattened (T*N) batch as one scan."""
+        """Epochs x minibatches over the flattened (T*N) batch as one scan.
+
+        Layout: env-major groups ``(G, L, feat)`` with ``L = (N/G)*T`` and one
+        shared group-local permutation per epoch. On a dp mesh (G a multiple
+        of |dp|) the gather indexes the unsharded axis only, so XLA partitions
+        it without collectives; G=1 degenerates to the reference's global
+        flat shuffle."""
         t, n = batch.rewards.shape
-        total = t * n
-        mb_size = total // self.num_mini_batches
-        used = mb_size * self.num_mini_batches
+        g = self.perm_groups
+        assert n % g == 0, f"num_envs {n} not divisible by perm_groups {g}"
+        l = (n // g) * t
+        mb_local = l // self.num_mini_batches
+        used = mb_local * self.num_mini_batches
+
+        def to_groups(x):
+            x = jnp.swapaxes(x, 0, 1)                       # (N, T, ...)
+            return x.reshape(g, l, *x.shape[2:])
 
         flat = {
-            "obs": batch.obs.reshape(total, -1),
-            "critic_obs": batch.critic_obs.reshape(total, -1),
-            "actions": batch.actions.reshape(total, -1),
-            "log_prob": batch.log_prob.reshape(total),
-            "mu": batch.mu.reshape(total, -1),
-            "sigma": batch.sigma.reshape(total, -1),
-            "values": batch.values.reshape(total),
-            "returns": returns.reshape(total),
-            "advantages": advantages.reshape(total),
+            "obs": to_groups(batch.obs),
+            "critic_obs": to_groups(batch.critic_obs),
+            "actions": to_groups(batch.actions),
+            "log_prob": to_groups(batch.log_prob),
+            "mu": to_groups(batch.mu),
+            "sigma": to_groups(batch.sigma),
+            "values": to_groups(batch.values),
+            "returns": to_groups(returns),
+            "advantages": to_groups(advantages),
         }
 
         # one fresh permutation per epoch (base_storage.py:169 draws once per
         # update; per-epoch draws are strictly more shuffled)
         epoch_keys = jax.random.split(key, self.num_learning_epochs)
         perms = jnp.stack(
-            [jax.random.permutation(k, total)[:used] for k in epoch_keys]
-        ).reshape(self.num_learning_epochs * self.num_mini_batches, mb_size)
+            [jax.random.permutation(k, l)[:used] for k in epoch_keys]
+        ).reshape(self.num_learning_epochs * self.num_mini_batches, mb_local)
 
-        grad_fn = jax.value_and_grad(self._minibatch_loss, has_aux=True)
+        def get_mb(idx):
+            return {
+                k: v[:, idx].reshape(g * mb_local, *v.shape[2:]) for k, v in flat.items()
+            }
+
+        return self._run_epochs(ppo_state, perms, get_mb, self._minibatch_loss)
+
+    def _run_epochs(self, ppo_state: PPOState, perms, get_mb, loss_fn):
+        """Shared epochs-x-minibatches scan: grads, adaptive-KL LR, NaN skip,
+        clip + Adam (ppo.py:215-309). ``get_mb(idx)`` materializes one
+        minibatch from a permutation row."""
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
         def mb_step(carry, idx):
             params, opt_state, lr = carry
-            mb = {k: v[idx] for k, v in flat.items()}
+            mb = get_mb(idx)
             (loss, aux), grads = grad_fn(params, mb, lr)
 
             # adaptive LR from this minibatch's KL, applied to this step
@@ -236,3 +268,110 @@ class PPO:
             PPOState(params=params, opt_state=opt_state, learning_rate=lr),
             mean_metrics,
         )
+
+    # ------------------------------------------------------------------
+    # recurrent update (whole-trajectory minibatches, learn/recurrent.py)
+    # ------------------------------------------------------------------
+
+    def _minibatch_loss_recurrent(self, params, mb, lr_unused):
+        """Same clipped PPO objective, but the policy/value forward is an
+        LSTM replay over the (T, M) sequence with done-boundary resets —
+        rsl_rl's recurrent generator semantics without padding/masks."""
+        net = self.net
+        mean = net.action_mean_seq(params, mb["obs"], mb["done_prev"], mb["hidden0"])
+        std = jnp.broadcast_to(net.std(params), mean.shape)
+        logp = net.log_prob(mean, std, mb["actions"])
+        value = net.evaluate_seq(params, mb["critic_obs"], mb["done_prev"], mb["hidden0"])
+        entropy = net.entropy(std)
+
+        old_mu, old_sigma = mb["mu"], mb["sigma"]
+        kl = jnp.sum(
+            jnp.log(std / old_sigma + 1e-5)
+            + (jnp.square(old_sigma) + jnp.square(old_mu - mean)) / (2.0 * jnp.square(std))
+            - 0.5,
+            axis=-1,
+        )
+        kl_mean = jax.lax.stop_gradient(jnp.mean(kl))
+
+        ratio = jnp.exp(logp - mb["log_prob"])
+        adv = mb["advantages"]
+        surrogate = -adv * ratio
+        surrogate_clipped = -adv * jnp.clip(ratio, 1.0 - self.clip_param, 1.0 + self.clip_param)
+        surrogate_loss = jnp.mean(jnp.maximum(surrogate, surrogate_clipped))
+
+        if self.use_clipped_value_loss:
+            value_clipped = mb["values"] + jnp.clip(
+                value - mb["values"], -self.clip_param, self.clip_param
+            )
+            value_loss = jnp.mean(
+                jnp.maximum(
+                    jnp.square(value - mb["returns"]),
+                    jnp.square(value_clipped - mb["returns"]),
+                )
+            )
+        else:
+            value_loss = jnp.mean(jnp.square(mb["returns"] - value))
+
+        loss = (
+            surrogate_loss
+            + self.value_loss_coef * value_loss
+            - self.entropy_coef * jnp.mean(entropy)
+        )
+        if self.extra_loss_fn is not None:
+            loss = loss + self.extra_loss_fn(params, mb)
+        aux = {"value_loss": value_loss, "surrogate_loss": surrogate_loss, "kl": kl_mean}
+        return loss, aux
+
+    def update_recurrent(
+        self, ppo_state: PPOState, batch: Transition, returns, advantages, key, hidden0
+    ) -> Tuple[PPOState, Dict[str, jax.Array]]:
+        """Minibatches are whole env columns (= whole trajectories); the
+        group-local env permutation keeps dp sharding gather-free exactly as
+        in :meth:`update`."""
+        t, n = batch.rewards.shape
+        g = self.perm_groups
+        assert n % g == 0, f"num_envs {n} not divisible by perm_groups {g}"
+        per_group = n // g
+        mb_envs = max(per_group // self.num_mini_batches, 1)
+        used = mb_envs * self.num_mini_batches
+
+        done_prev = jnp.concatenate(
+            [jnp.zeros((1, n)), batch.dones[:-1].astype(jnp.float32)], axis=0
+        )
+
+        def to_groups(x):   # (T, N, ...) -> (T, g, n/g, ...)
+            return x.reshape(t, g, per_group, *x.shape[2:])
+
+        data = {
+            "obs": to_groups(batch.obs),
+            "critic_obs": to_groups(batch.critic_obs),
+            "actions": to_groups(batch.actions),
+            "log_prob": to_groups(batch.log_prob),
+            "mu": to_groups(batch.mu),
+            "sigma": to_groups(batch.sigma),
+            "values": to_groups(batch.values),
+            "returns": to_groups(returns),
+            "advantages": to_groups(advantages),
+            "done_prev": to_groups(done_prev),
+        }
+        hid = jax.tree.map(
+            lambda x: x.reshape(x.shape[0], g, per_group, x.shape[-1]), hidden0
+        )
+
+        epoch_keys = jax.random.split(key, self.num_learning_epochs)
+        perms = jnp.stack(
+            [jax.random.permutation(k, per_group)[:used] for k in epoch_keys]
+        ).reshape(self.num_learning_epochs * self.num_mini_batches, mb_envs)
+
+        def get_mb(idx):
+            mb = {
+                k: v[:, :, idx].reshape(t, g * mb_envs, *v.shape[3:])
+                for k, v in data.items()
+            }
+            mb["hidden0"] = jax.tree.map(
+                lambda x: x[:, :, idx].reshape(x.shape[0], g * mb_envs, x.shape[-1]),
+                hid,
+            )
+            return mb
+
+        return self._run_epochs(ppo_state, perms, get_mb, self._minibatch_loss_recurrent)

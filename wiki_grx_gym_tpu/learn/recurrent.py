@@ -1,0 +1,189 @@
+"""Recurrent (LSTM) actor-critic + trajectory-aware PPO update.
+
+Completes the reference's dormant recurrent path: rsl_rl ships
+`split_and_pad_trajectories` (`rsl_rl/utils/utils.py:10-57`) and legged_gym
+ships `PolicyExporterLSTM` (`utils/helpers.py:204-231`), but the fork has no
+recurrent actor-critic or recurrent update. Upstream rsl_rl's design is two
+LSTM "memories" (actor and critic) feeding the usual MLP heads, with the
+update replaying the LSTM over stored trajectories.
+
+TPU-native re-design of the update: instead of splitting/padding trajectories
+(needed only because torch's nn.LSTM cannot reset state mid-sequence), the
+replay is a `lax.scan` over the rollout's (T, N) layout that zeroes the
+hidden state at done boundaries inline — no padding, no masks, no ragged
+shapes, every (t, n) sample valid. Minibatches take whole env columns
+(= whole trajectories, rsl_rl's recurrent generator semantics) with the
+same group-local permutation as the flat path so dp sharding stays
+gather-free. `split_and_pad_trajectories` remains available in
+`learn/utils.py` for API parity.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from wiki_grx_gym_tpu.learn.networks import (
+    ActorCritic,
+    apply_mlp,
+    init_mlp,
+    _torch_linear_init,
+)
+
+
+@struct.dataclass
+class LSTMLayerParams:
+    """torch.nn.LSTM layer parametrization (gate order i, f, g, o)."""
+
+    w_ih: jax.Array   # (I, 4H)
+    w_hh: jax.Array   # (H, 4H)
+    b_ih: jax.Array   # (4H,)
+    b_hh: jax.Array   # (4H,)
+
+
+@struct.dataclass
+class RecurrentParams:
+    memory_a: List[LSTMLayerParams]
+    memory_c: List[LSTMLayerParams]
+    actor: list
+    critic: list
+    std: jax.Array
+
+
+class Hidden(NamedTuple):
+    """Stacked hidden state (L, N, H) for h and c, actor + critic memories."""
+
+    ha: jax.Array
+    ca: jax.Array
+    hc: jax.Array
+    cc: jax.Array
+
+
+def _init_lstm_layer(key, in_dim, hidden):
+    """torch LSTM default: U(-1/sqrt(H), 1/sqrt(H)) for every tensor."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    bound = 1.0 / np.sqrt(hidden)
+    u = lambda k, shape: jax.random.uniform(k, shape, minval=-bound, maxval=bound)
+    return LSTMLayerParams(
+        w_ih=u(k1, (in_dim, 4 * hidden)),
+        w_hh=u(k2, (hidden, 4 * hidden)),
+        b_ih=u(k3, (4 * hidden,)),
+        b_hh=u(k4, (4 * hidden,)),
+    )
+
+
+def _lstm_cell(p: LSTMLayerParams, x, h, c):
+    gates = x @ p.w_ih + p.b_ih + h @ p.w_hh + p.b_hh
+    hdim = h.shape[-1]
+    i = jax.nn.sigmoid(gates[..., 0 * hdim: 1 * hdim])
+    f = jax.nn.sigmoid(gates[..., 1 * hdim: 2 * hdim])
+    g = jnp.tanh(gates[..., 2 * hdim: 3 * hdim])
+    o = jax.nn.sigmoid(gates[..., 3 * hdim: 4 * hdim])
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+def _memory_step(layers, x, h, c):
+    """One step through a stacked LSTM. h/c are (L, N, H)."""
+    hs, cs = [], []
+    out = x
+    for li, p in enumerate(layers):
+        h_new, c_new = _lstm_cell(p, out, h[li], c[li])
+        hs.append(h_new)
+        cs.append(c_new)
+        out = h_new
+    return out, jnp.stack(hs), jnp.stack(cs)
+
+
+class ActorCriticRecurrent(ActorCritic):
+    """LSTM memories (actor + critic) feeding the MLP heads.
+
+    Distribution machinery (learnable per-dim std, log_prob, entropy) is
+    inherited from :class:`ActorCritic`; only the feature extractor differs.
+    """
+
+    def __init__(self, num_actor_input, num_critic_input, num_actions, policy_cfg):
+        super().__init__(num_actor_input, num_critic_input, num_actions, policy_cfg)
+        assert (policy_cfg.rnn_type or "lstm") == "lstm", policy_cfg.rnn_type
+        self.rnn_hidden = int(policy_cfg.rnn_hidden_size)
+        self.rnn_layers = int(policy_cfg.rnn_num_layers)
+
+    def init(self, key) -> RecurrentParams:
+        ka, kc, kma, kmc = jax.random.split(key, 4)
+        h = self.rnn_hidden
+
+        def mem(k, in_dim):
+            keys = jax.random.split(k, self.rnn_layers)
+            return [
+                _init_lstm_layer(keys[i], in_dim if i == 0 else h, h)
+                for i in range(self.rnn_layers)
+            ]
+
+        return RecurrentParams(
+            memory_a=mem(kma, self.num_actor_input),
+            memory_c=mem(kmc, self.num_critic_input),
+            actor=init_mlp(ka, h, self.actor_hidden, self.num_actions),
+            critic=init_mlp(kc, h, self.critic_hidden, 1),
+            std=self.init_noise_std * jnp.ones(self.num_actions),
+        )
+
+    def initial_hidden(self, n: int) -> Hidden:
+        # four distinct buffers: the runner donates the state, and XLA
+        # rejects donating one aliased buffer twice
+        z = lambda: jnp.zeros((self.rnn_layers, n, self.rnn_hidden))
+        return Hidden(ha=z(), ca=z(), hc=z(), cc=z())
+
+    # -- single-step (rollout) ---------------------------------------------
+
+    def act_rnn(self, params, obs, hidden: Hidden, key):
+        feat, ha, ca = _memory_step(params.memory_a, obs, hidden.ha, hidden.ca)
+        mean = apply_mlp(params.actor, feat, self.activation, self.actor_out_act)
+        std = jnp.broadcast_to(self.std(params), mean.shape)
+        actions = mean + std * jax.random.normal(key, mean.shape)
+        logp = self.log_prob(mean, std, actions)
+        return actions, logp, mean, std, hidden._replace(ha=ha, ca=ca)
+
+    def evaluate_rnn(self, params, critic_obs, hidden: Hidden):
+        feat, hc, cc = _memory_step(params.memory_c, critic_obs, hidden.hc, hidden.cc)
+        v = apply_mlp(params.critic, feat, self.activation, self.critic_out_act)
+        return jnp.squeeze(v, axis=-1), hidden._replace(hc=hc, cc=cc)
+
+    def act_inference_rnn(self, params, obs, hidden: Hidden):
+        feat, ha, ca = _memory_step(params.memory_a, obs, hidden.ha, hidden.ca)
+        mean = apply_mlp(params.actor, feat, self.activation, self.actor_out_act)
+        return mean, hidden._replace(ha=ha, ca=ca)
+
+    # -- sequence replay (update) ------------------------------------------
+
+    def features_seq(self, layers, xs, done_prev, h0, c0):
+        """Run the memory over (T, N, I), zeroing hidden state where
+        ``done_prev[t]`` (the env was reset after step t-1) — exact replay of
+        the rollout's per-step hidden states without padding."""
+
+        def scan_fn(carry, inp):
+            h, c = carry
+            x, dp = inp
+            live = (1.0 - dp)[None, :, None]
+            out, h, c = _memory_step(layers, x, h * live, c * live)
+            return (h, c), out
+
+        (_, _), feats = jax.lax.scan(scan_fn, (h0, c0), (xs, done_prev))
+        return feats   # (T, N, H)
+
+    def action_mean_seq(self, params, obs_seq, done_prev, hidden0: Hidden):
+        feats = self.features_seq(
+            params.memory_a, obs_seq, done_prev, hidden0.ha, hidden0.ca
+        )
+        return apply_mlp(params.actor, feats, self.activation, self.actor_out_act)
+
+    def evaluate_seq(self, params, critic_obs_seq, done_prev, hidden0: Hidden):
+        feats = self.features_seq(
+            params.memory_c, critic_obs_seq, done_prev, hidden0.hc, hidden0.cc
+        )
+        v = apply_mlp(params.critic, feats, self.activation, self.critic_out_act)
+        return jnp.squeeze(v, axis=-1)

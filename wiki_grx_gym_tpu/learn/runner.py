@@ -39,6 +39,7 @@ class RunnerState:
     critic_obs: jax.Array      # (N, OP)
     ppo: PPOState
     rng: jax.Array
+    hidden: object = None      # recurrent memory (learn/recurrent.Hidden) or None
 
 
 class OnPolicyRunner:
@@ -54,7 +55,16 @@ class OnPolicyRunner:
         self.seed = int(getattr(train_cfg, "seed", 1))
 
         num_pri_obs = env.pri_obs_dim if env.cfg.env.num_pri_obs else env.obs_dim
-        self.net = ActorCritic(
+        # network class by config (on_policy_runner.py:84-89 builds by name;
+        # here rnn_type selects the recurrent actor-critic)
+        self.recurrent = bool(getattr(self.policy_cfg, "rnn_type", None))
+        if self.recurrent:
+            from wiki_grx_gym_tpu.learn.recurrent import ActorCriticRecurrent
+
+            net_cls = ActorCriticRecurrent
+        else:
+            net_cls = ActorCritic
+        self.net = net_cls(
             num_actor_input=env.obs_dim,
             num_critic_input=num_pri_obs,
             num_actions=env.num_actions,
@@ -64,11 +74,26 @@ class OnPolicyRunner:
         # (on_policy_runner.py:161-167; completed in learn/symmetry.py)
         extra_loss_fn = None
         symmetry_coef = float(getattr(self.alg_cfg, "symmetry_coef", 0.0))
+        if symmetry_coef > 0.0 and self.recurrent:
+            raise NotImplementedError(
+                "mirror symmetry for recurrent policies would need mirrored "
+                "hidden states; use symmetry_coef=0 with rnn_type"
+            )
         if symmetry_coef > 0.0:
             from wiki_grx_gym_tpu.learn.symmetry import make_mirror_loss
 
             extra_loss_fn = make_mirror_loss(env, self.net, symmetry_coef)
-        self.alg = PPO(self.net, self.alg_cfg, extra_loss_fn=extra_loss_fn)
+        # minibatch-shuffle locality: defaults to the dp mesh size so the
+        # update's gathers never cross devices (see PPO docstring); an
+        # explicit algorithm.permutation_groups pins it (e.g. to compare a
+        # dp1 and a dp8 run bit-for-bit)
+        pg = int(getattr(self.alg_cfg, "permutation_groups", 0) or 0)
+        if pg == 0:
+            if mesh is not None and "dp" in mesh.axis_names:
+                pg = int(mesh.shape["dp"])
+            else:
+                pg = 1
+        self.alg = PPO(self.net, self.alg_cfg, extra_loss_fn=extra_loss_fn, perm_groups=pg)
 
         self.writer = None
         self.tot_timesteps = 0
@@ -108,6 +133,7 @@ class OnPolicyRunner:
             critic_obs=out.pri_obs,
             ppo=ppo_state,
             rng=k_run,
+            hidden=self.net.initial_hidden(self.env.num_envs) if self.recurrent else None,
         )
         if self.mesh is not None:
             from wiki_grx_gym_tpu.parallel.sharding import shard_runner_state
@@ -119,17 +145,26 @@ class OnPolicyRunner:
     # one full PPO iteration (jitted)
     # ------------------------------------------------------------------
 
-    def _iteration(self, state: RunnerState):
-        env, net, alg = self.env, self.net, self.alg
-        key, k_update = jax.random.split(state.rng)
+    def _rollout(self, env_state, obs, critic_obs, params, key, hidden=None):
+        """Collection phase: T steps of act->env.step->store as one lax.scan.
 
-        params = state.ppo.params
+        Metric reductions are deliberately NOT performed here: per-env
+        accumulators ride the scan carry and are reduced once per iteration
+        in :meth:`_iteration`, so on a dp mesh the compiled rollout contains
+        **zero cross-device collectives** (asserted by
+        tests/test_parallel.py; the SURVEY §2.6 contract)."""
+        env, net, alg = self.env, self.net, self.alg
+        n = env.num_envs
 
         def rollout_step(carry, _):
-            env_state, obs, critic_obs, key = carry
+            env_state, obs, critic_obs, key, hidden, acc = carry
             key, k_act = jax.random.split(key)
-            actions, logp, mu, sigma = net.act(params, obs, k_act)
-            values = net.evaluate(params, critic_obs)
+            if self.recurrent:
+                actions, logp, mu, sigma, hidden = net.act_rnn(params, obs, hidden, k_act)
+                values, hidden = net.evaluate_rnn(params, critic_obs, hidden)
+            else:
+                actions, logp, mu, sigma = net.act(params, obs, k_act)
+                values = net.evaluate(params, critic_obs)
             env_state, out = env.step(env_state, actions)
             # timeout bootstrapping (ppo.py:190-191)
             rewards = out.rew + alg.gamma * values * out.extras["time_outs"]
@@ -144,42 +179,79 @@ class OnPolicyRunner:
                 mu=mu,
                 sigma=sigma,
             )
-            metrics = {
-                "reward": jnp.mean(out.rew),
-                "done_count": out.extras["done_count"],
-                "episode": out.extras["episode"],
-                "ep_len_done": jnp.sum(
-                    jnp.where(out.reset, env_state.episode_length, 0).astype(jnp.float32)
-                ),
+            acc = {
+                "rew": acc["rew"] + out.rew,
+                "done": acc["done"] + out.reset.astype(jnp.float32),
+                "ep_sums": acc["ep_sums"] + out.extras["episode_done_sums"],
+                "ep_len_done": acc["ep_len_done"] + out.extras["ep_len_done"],
             }
-            return (env_state, out.obs, out.pri_obs, key), (trans, metrics)
+            if self.recurrent:
+                # zero recurrent memory of reset envs (rsl_rl reset semantics)
+                live = (1.0 - out.reset.astype(jnp.float32))[None, :, None]
+                hidden = type(hidden)(*(h * live for h in hidden))
+            return (env_state, out.obs, out.pri_obs, key, hidden, acc), trans
 
-        (env_state, obs, critic_obs, key), (batch, roll_metrics) = jax.lax.scan(
+        acc0 = {
+            "rew": jnp.zeros(n),
+            "done": jnp.zeros(n),
+            "ep_sums": jnp.zeros((n, len(self.env.all_reward_names))),
+            "ep_len_done": jnp.zeros(n),
+        }
+        (env_state, obs, critic_obs, key, hidden, acc), batch = jax.lax.scan(
             rollout_step,
-            (state.env_state, state.obs, state.critic_obs, key),
+            (env_state, obs, critic_obs, key, hidden, acc0),
             None,
             length=self.num_steps_per_env,
         )
+        return env_state, obs, critic_obs, key, hidden, acc, batch
 
-        last_values = net.evaluate(params, critic_obs)
-        returns, advantages = alg.compute_returns(batch, last_values)
-        ppo_state, update_metrics = alg.update(state.ppo, batch, returns, advantages, k_update)
+    def _iteration(self, state: RunnerState):
+        env, net, alg = self.env, self.net, self.alg
+        key, k_update = jax.random.split(state.rng)
+        params = state.ppo.params
 
-        # aggregate rollout episode metrics weighted by done counts
-        dc = roll_metrics["done_count"]
-        total_done = jnp.maximum(jnp.sum(dc), 1.0)
+        hidden0 = state.hidden   # memory at rollout start (recurrent replay)
+        env_state, obs, critic_obs, key, hidden, acc, batch = self._rollout(
+            state.env_state, state.obs, state.critic_obs, params, key, state.hidden
+        )
+
+        if self.recurrent:
+            last_values, _ = net.evaluate_rnn(params, critic_obs, hidden)
+            returns, advantages = alg.compute_returns(batch, last_values)
+            ppo_state, update_metrics = alg.update_recurrent(
+                state.ppo, batch, returns, advantages, k_update, hidden0
+            )
+        else:
+            last_values = net.evaluate(params, critic_obs)
+            returns, advantages = alg.compute_returns(batch, last_values)
+            ppo_state, update_metrics = alg.update(
+                state.ppo, batch, returns, advantages, k_update
+            )
+
+        # metric reductions: once per iteration (the only rollout-side
+        # collectives on a dp mesh, matching on_policy_runner.py:178-179
+        # semantics: per-reward episode means over done envs)
+        total_done = jnp.maximum(jnp.sum(acc["done"]), 1.0)
         ep_metrics = {
-            k: jnp.sum(v * dc) / total_done for k, v in roll_metrics["episode"].items()
+            name: jnp.sum(acc["ep_sums"][:, i]) / total_done / env.max_episode_length_s
+            for i, name in enumerate(env.all_reward_names)
         }
+        # curriculum telemetry (legged_robot.py:426-436)
+        if env.custom_origins and env.cfg.terrain.curriculum:
+            ep_metrics["terrain_level"] = jnp.mean(env_state.terrain_levels.astype(jnp.float32))
+        if env.cfg.commands.curriculum:
+            ep_metrics["max_command_x"] = env_state.cmd_lin_vel_x_range[1]
         metrics = {
-            "mean_step_reward": jnp.mean(roll_metrics["reward"]),
-            "done_count": jnp.sum(dc),
+            "mean_step_reward": jnp.sum(acc["rew"]) / (self.num_steps_per_env * env.num_envs),
+            "done_count": jnp.sum(acc["done"]),
+            "mean_ep_len_done": jnp.sum(acc["ep_len_done"]) / total_done,
             "mean_action_std": jnp.mean(net.std(ppo_state.params)),
             **{f"episode/{k}": v for k, v in ep_metrics.items()},
             **update_metrics,
         }
         new_state = RunnerState(
-            env_state=env_state, obs=obs, critic_obs=critic_obs, ppo=ppo_state, rng=key
+            env_state=env_state, obs=obs, critic_obs=critic_obs, ppo=ppo_state,
+            rng=key, hidden=hidden,
         )
         return new_state, metrics
 
@@ -239,6 +311,8 @@ class OnPolicyRunner:
     def _log(self, it: int, m: Dict, elapsed: float, steps_per_iter: int):
         fps = steps_per_iter / elapsed
         self.rewbuffer.append(float(m["mean_step_reward"]))
+        if float(m["done_count"]) > 0:
+            self.lenbuffer.append(float(m["mean_ep_len_done"]))
         if self.writer is not None:
             w = self.writer
             w.add_scalar("Loss/value_function", float(m["value_loss"]), it)
@@ -249,6 +323,10 @@ class OnPolicyRunner:
             w.add_scalar("Perf/total_fps", fps, it)
             w.add_scalar("Perf/iteration_time", elapsed, it)
             w.add_scalar("Train/mean_reward", float(m["mean_step_reward"]), it)
+            if self.lenbuffer:
+                w.add_scalar(
+                    "Train/mean_episode_length", statistics.mean(self.lenbuffer), it
+                )
             for k, v in m.items():
                 if k.startswith("episode/"):
                     w.add_scalar("Episode/" + k.split("/", 1)[1], float(v), it)
@@ -307,11 +385,32 @@ class OnPolicyRunner:
     # ------------------------------------------------------------------
 
     def get_inference_policy(self, state: RunnerState):
-        """Jitted deterministic policy (on_policy_runner.py:333-345)."""
+        """Jitted deterministic policy (on_policy_runner.py:333-345).
+
+        Recurrent policies return a *stateful* closure carrying the LSTM
+        memory across calls (PolicyExporterLSTM semantics,
+        helpers.py:204-231); call ``policy.reset()`` to zero it."""
         params = state.ppo.params
 
-        @jax.jit
-        def policy(obs):
-            return self.net.act_inference(params, obs)
+        if not self.recurrent:
+            @jax.jit
+            def policy(obs):
+                return self.net.act_inference(params, obs)
 
+            return policy
+
+        net = self.net
+        cell = {"hidden": None}
+
+        @jax.jit
+        def _step(obs, hidden):
+            return net.act_inference_rnn(params, obs, hidden)
+
+        def policy(obs):
+            if cell["hidden"] is None:
+                cell["hidden"] = net.initial_hidden(obs.shape[0])
+            actions, cell["hidden"] = _step(obs, cell["hidden"])
+            return actions
+
+        policy.reset = lambda: cell.update(hidden=None)
         return policy

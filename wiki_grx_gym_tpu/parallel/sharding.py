@@ -75,4 +75,22 @@ def shard_runner_state(state, mesh: Mesh, num_envs: int):
         learning_rate=jax.device_put(state.ppo.learning_rate, NamedSharding(mesh, P())),
     )
     rng = jax.device_put(state.rng, NamedSharding(mesh, P()))
-    return state.replace(env_state=env_state, obs=obs, critic_obs=critic_obs, ppo=ppo, rng=rng)
+    # recurrent memory leaves are (L, N, H): env axis second
+    hidden = state.hidden
+    if hidden is not None:
+        hidden = jax.tree.map(
+            lambda x: jax.device_put(
+                x,
+                NamedSharding(
+                    mesh,
+                    P(None, "dp", *([None] * (x.ndim - 2)))
+                    if x.ndim >= 2 and x.shape[1] == num_envs
+                    else P(),
+                ),
+            ),
+            hidden,
+        )
+    return state.replace(
+        env_state=env_state, obs=obs, critic_obs=critic_obs, ppo=ppo, rng=rng,
+        hidden=hidden,
+    )
