@@ -243,3 +243,48 @@ def test_resume_flow_uses_loaded_state(tmp_path):
     import numpy as np
 
     assert not np.allclose(np.asarray(state2.ppo.params.std), 0.2)
+
+
+def test_bf16_compute_dtype_matches_f32_within_tolerance():
+    """compute_dtype="bfloat16" must produce the same policy up to bf16
+    rounding: identical params, forward outputs within ~1e-2 absolute, and a
+    full PPO update that stays finite and moves the policy the same way."""
+    _, train_cfg = small_cfgs(mb=2, epochs=2)
+    net32, alg32 = make_alg(train_cfg, obs=6, pri=6, act=2)
+    train_cfg.policy.compute_dtype = "bfloat16"
+    net16, alg16 = make_alg(train_cfg, obs=6, pri=6, act=2)
+    assert net16.compute_dtype == jnp.bfloat16 and net32.compute_dtype is None
+
+    key = jax.random.PRNGKey(0)
+    params = net32.init(key)          # identical init for both
+    obs = jax.random.normal(jax.random.PRNGKey(1), (64, 6))
+
+    m32 = net32.action_mean(params, obs)
+    m16 = net16.action_mean(params, obs)
+    assert m16.dtype == jnp.float32   # f32 in/out contract
+    assert float(jnp.max(jnp.abs(m16 - m32))) < 1e-2
+    v32 = net32.evaluate(params, obs)
+    v16 = net16.evaluate(params, obs)
+    assert float(jnp.max(jnp.abs(v16 - v32))) < 2e-2
+
+    # one PPO update each from the same synthetic batch / same rng
+    t, n = 8, 16
+    obs_b = jax.random.normal(jax.random.PRNGKey(2), (t, n, 6))
+    actions, logp, mu, sigma = jax.vmap(lambda o, k: net32.act(params, o, k))(
+        obs_b, jax.random.split(jax.random.PRNGKey(3), t)
+    )
+    values = jax.vmap(lambda o: net32.evaluate(params, o))(obs_b)
+    rewards = jnp.sum(actions, axis=-1)
+    dones = jnp.zeros((t, n), bool)
+    batch = Transition(obs_b, obs_b, actions, rewards, dones, values, logp, mu, sigma)
+    returns, adv = alg32.compute_returns(batch, values[-1])
+
+    s32, met32 = jax.jit(alg32.update)(alg32.init(params), batch, returns, adv, jax.random.PRNGKey(4))
+    s16, met16 = jax.jit(alg16.update)(alg16.init(params), batch, returns, adv, jax.random.PRNGKey(4))
+    for k in ("value_loss", "surrogate_loss", "kl"):
+        assert np.isfinite(float(met16[k])), k
+        assert float(met16[k]) == pytest.approx(float(met32[k]), abs=5e-2), k
+    # updated params stay f32 and agree to bf16-rounding tolerance
+    for a, b in zip(jax.tree.leaves(s16.params), jax.tree.leaves(s32.params)):
+        assert a.dtype == jnp.float32
+        assert float(jnp.max(jnp.abs(a - b))) < 2e-2

@@ -202,3 +202,51 @@ def test_env_step_pallas_matches_scan_on_tpu():
     s1, o1 = env_pl.step_jit(s1, actions)
     np.testing.assert_allclose(np.asarray(o1.obs), np.asarray(o0.obs), atol=5e-4)
     np.testing.assert_allclose(np.asarray(o1.rew), np.asarray(o0.rew), atol=5e-4)
+
+
+def test_pallas_post_fk_outputs_match_engine_fk(env):
+    """The kernel's folded final-state FK (post_quat/post_rel of
+    env.post_fk_bodies) must equal forward_kinematics on the final physics
+    state — the quantity legged_env.step otherwise recomputes post-physics."""
+    from wiki_grx_gym_tpu.sim import pallas_step as ps
+    from wiki_grx_gym_tpu.sim.kinematics import forward_kinematics
+
+    n = 8
+    deci = _make_deci(env, decimation=3)
+    deci.post_bodies = tuple(env.post_fk_bodies)
+    pall = PallasDecimation(deci, interpret=True)
+    assert pall.npost == len(env.post_fk_bodies) > 0
+    phys, actions, last_actions, motor, delay, rand = _random_inputs(env, n)
+
+    with jax.disable_jit():
+        comp, nb, n_real = pall._pack(
+            phys, actions, last_actions, motor, delay, rand, None
+        )
+        in_ref = _FakeRef(comp[:, 0:1].reshape(pall.c_in, 1, ps._SUB, ps._LANE))
+        out_ref = _FakeRef(jnp.zeros((pall.c_out, 1, ps._SUB, ps._LANE), jnp.float32))
+        pall._kernel(in_ref, out_ref)
+        flat = out_ref.arr.reshape(pall.c_out, ps.ENV_BLOCK)[:, :n]
+
+        def take(name):
+            off, cnt = pall.out_off[name]
+            return flat[off: off + cnt].T
+
+        final = phys.replace(
+            base_pos=take("pos"), base_quat=take("quat"),
+            base_lin_vel=take("lin"), base_ang_vel=take("ang"),
+            q=take("q"), qd=take("qd"),
+        )
+        post_quat = take("post_quat").reshape(n, pall.npost, 4)
+        post_rel = take("post_rel").reshape(n, pall.npost, 3)
+
+    kin = jax.vmap(forward_kinematics, in_axes=(None, 0, 0, 0, 0, 0))(
+        env.model, final.base_quat, final.base_ang_vel, final.base_lin_vel,
+        final.q, final.qd,
+    )
+    pb = jnp.asarray(env.post_fk_bodies, jnp.int32)
+    np.testing.assert_allclose(
+        np.asarray(post_quat), np.asarray(kin.quat[:, pb]), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(post_rel), np.asarray(kin.pos_rel[:, pb]), rtol=1e-5, atol=1e-5
+    )

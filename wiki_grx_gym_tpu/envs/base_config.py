@@ -280,3 +280,8 @@ class LeggedRobotCfgPPO(BaseConfig):
         rnn_type = None
         rnn_hidden_size = 256
         rnn_num_layers = 1
+        # "bfloat16" runs the actor/critic matmuls in bf16 on the MXU
+        # (params/optimizer/distribution math stay f32). The reference has
+        # no equivalent knob (f32 throughout); see docs/TRAINING.md for the
+        # learning-parity validation before enabling in a shipped config.
+        compute_dtype = "float32"

@@ -474,8 +474,24 @@ class LeggedEnv:
             self.cfg.control.action_scale, np.asarray(self.p_gains),
             np.asarray(self.d_gains), np.asarray(self.default_dof_pos),
             np.asarray(self.torque_limits), self.feet_bodies, self.feet_point_groups,
+            post_bodies=self.post_fk_bodies,
         )
         return PallasDecimation(deci, interpret=self._pallas_mode() == "interpret")
+
+    @functools.cached_property
+    def post_fk_bodies(self):
+        """Bodies whose final-state FK step() consumes post-physics (feet +
+        orientation-reward frames); the Pallas kernel emits exactly these so
+        the XLA-side FK recompute is skipped on the kernel path."""
+        bodies = list(self.feet_bodies)
+        for fr in (self.torso_frame, self.forehead_frame):
+            if fr is not None and fr[0] not in bodies:
+                bodies.append(fr[0])
+        return tuple(bodies)
+
+    @functools.cached_property
+    def _post_slot(self):
+        return {b: i for i, b in enumerate(self.post_fk_bodies)}
 
     def _run_decimation(self, state: EnvState, actions: jax.Array, delay: jax.Array):
         """Dispatch the hot loop: Pallas VMEM mega-kernel (plane terrain) or
@@ -528,7 +544,7 @@ class LeggedEnv:
         (phys, sum_force, sum_vxyz, sum_vrpy, (torques, point_force)), _ = jax.lax.scan(
             substep, init, jnp.arange(self.decimation, dtype=jnp.float32)
         )
-        return phys, sum_force, sum_vxyz, sum_vrpy, torques, point_force
+        return phys, sum_force, sum_vxyz, sum_vrpy, torques, point_force, None
 
     def step(self, state: EnvState, actions: jax.Array) -> Tuple[EnvState, StepOutput]:
         c = self.cfg
@@ -546,8 +562,8 @@ class LeggedEnv:
         else:
             delay = jnp.zeros((n, 1))
 
-        phys, sum_force, sum_vxyz, sum_vrpy, torques, point_force = self._run_decimation(
-            state, actions, delay
+        phys, sum_force, sum_vxyz, sum_vrpy, torques, point_force, post_kin = (
+            self._run_decimation(state, actions, delay)
         )
         avg_feet_contact_force = sum_force / self.decimation
         avg_feet_speed_xyz = sum_vxyz / self.decimation
@@ -564,10 +580,21 @@ class LeggedEnv:
         commands = jnp.where(resample[:, None], new_cmds, state.commands)
         commands = self._apply_heading_command(commands, phys.base_quat, n)
 
-        # fresh kinematics for pose-derived quantities
-        kin = jax.vmap(forward_kinematics, in_axes=(None, 0, 0, 0, 0, 0))(
-            self.model, phys.base_quat, phys.base_ang_vel, phys.base_lin_vel, phys.q, phys.qd
-        )
+        # fresh kinematics for pose-derived quantities: the Pallas kernel
+        # emits the final-state FK of exactly the consumed bodies
+        # (post_fk_bodies); the scan path recomputes it here
+        fb = jnp.asarray(self.feet_bodies, jnp.int32)
+        if post_kin is None:
+            kin = jax.vmap(forward_kinematics, in_axes=(None, 0, 0, 0, 0, 0))(
+                self.model, phys.base_quat, phys.base_ang_vel, phys.base_lin_vel, phys.q, phys.qd
+            )
+            feet_rel, feet_quat = kin.pos_rel[:, fb], kin.quat[:, fb]
+            frame_quat = lambda body: kin.quat[:, body]
+        else:
+            post_rel, post_quat = post_kin
+            slots = jnp.asarray([self._post_slot[b] for b in self.feet_bodies], jnp.int32)
+            feet_rel, feet_quat = post_rel[:, slots], post_quat[:, slots]
+            frame_quat = lambda body: post_quat[:, self._post_slot[body]]
 
         base_quat = phys.base_quat
         base_lin_vel = maths.quat_rotate_inverse(base_quat, phys.base_lin_vel)
@@ -592,9 +619,8 @@ class LeggedEnv:
         )
 
         # feet quantities
-        fb = jnp.asarray(self.feet_bodies, jnp.int32)
-        feet_pos = phys.base_pos[:, None, :] + kin.pos_rel[:, fb] + maths.quat_apply(
-            kin.quat[:, fb], jnp.broadcast_to(self.feet_offsets, (n, f, 3))
+        feet_pos = phys.base_pos[:, None, :] + feet_rel + maths.quat_apply(
+            feet_quat, jnp.broadcast_to(self.feet_offsets, (n, f, 3))
         )
         feet_height = feet_pos[..., 2] - mean_heights[:, None]  # (N, F)
         feet_force = self._group_forces(point_force, self.feet_point_groups)  # (N,F,3)
@@ -634,8 +660,8 @@ class LeggedEnv:
             pen_count = jnp.zeros(n)
 
         # torso/forehead orientation channels
-        torso_pg = self._frame_projected_gravity(self.torso_frame, kin, n, projected_gravity)
-        forehead_pg = self._frame_projected_gravity(self.forehead_frame, kin, n, projected_gravity)
+        torso_pg = self._frame_projected_gravity(self.torso_frame, frame_quat, n, projected_gravity)
+        forehead_pg = self._frame_projected_gravity(self.forehead_frame, frame_quat, n, projected_gravity)
 
         ctx = RewardContext(
             commands=commands,
@@ -855,14 +881,14 @@ class LeggedEnv:
             return jnp.zeros((point_force.shape[0], 0, 3), point_force.dtype)
         return jnp.stack(cols, axis=1)
 
-    def _frame_projected_gravity(self, frame, kin, n, fallback):
+    def _frame_projected_gravity(self, frame, frame_quat, n, fallback):
         """Projected gravity in a named (possibly welded) link frame
-        (gr1t1.py:340-360)."""
+        (gr1t1.py:340-360). ``frame_quat`` maps body index -> (N, 4) quat."""
         if frame is None:
             return fallback
         body, quat_off = frame
         g = jnp.asarray([0.0, 0.0, -1.0])
-        link_quat = maths.quat_mul(kin.quat[:, body], jnp.broadcast_to(quat_off, (n, 4)))
+        link_quat = maths.quat_mul(frame_quat(body), jnp.broadcast_to(quat_off, (n, 4)))
         return maths.quat_rotate_inverse(link_quat, jnp.broadcast_to(g, (n, 3)))
 
     def _sample_commands(self, key, n, x_range=None):

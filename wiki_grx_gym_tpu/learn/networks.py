@@ -55,11 +55,23 @@ def init_mlp(key, in_dim: int, hidden: Sequence[int], out_dim: int) -> List[Tupl
     ]
 
 
-def apply_mlp(params, x, activation: Callable, out_activation: Callable = None):
-    for w, b in params[:-1]:
-        x = activation(x @ w + b)
-    w, b = params[-1]
-    x = x @ w + b
+def apply_mlp(params, x, activation: Callable, out_activation: Callable = None, dtype=None):
+    """MLP forward. With ``dtype=jnp.bfloat16`` the matmuls run on the MXU in
+    bf16 (operands cast per layer, f32 accumulation via
+    ``preferred_element_type``) while params, biases, activations and the
+    returned output stay float32 — mixed precision with f32 master weights.
+    """
+    if dtype is None:
+        for w, b in params[:-1]:
+            x = activation(x @ w + b)
+        w, b = params[-1]
+        x = x @ w + b
+    else:
+        for w, b in params[:-1]:
+            y = jnp.dot(x.astype(dtype), w.astype(dtype), preferred_element_type=jnp.float32)
+            x = activation(y + b)
+        w, b = params[-1]
+        x = jnp.dot(x.astype(dtype), w.astype(dtype), preferred_element_type=jnp.float32) + b
     if out_activation is not None:
         x = out_activation(x)
     return x
@@ -94,6 +106,12 @@ class ActorCritic:
         )
         self.fixed_std = bool(policy_cfg.fixed_std)
         self.init_noise_std = float(policy_cfg.init_noise_std)
+        # mixed precision: bf16 matmuls (MXU-native on TPU), f32 params /
+        # optimizer / distribution math. No reference equivalent (the
+        # reference trains f32 throughout); validated for learning parity in
+        # docs/TRAINING.md before being enabled in a shipped config.
+        name = getattr(policy_cfg, "compute_dtype", "float32") or "float32"
+        self.compute_dtype = {"float32": None, "bfloat16": jnp.bfloat16}[str(name)]
 
     def init(self, key) -> ActorCriticParams:
         ka, kc = jax.random.split(key)
@@ -106,7 +124,7 @@ class ActorCritic:
     # ---- distribution ops (actor_critic_mlp.py:165-217) ----
 
     def action_mean(self, params: ActorCriticParams, obs):
-        return apply_mlp(params.actor, obs, self.activation, self.actor_out_act)
+        return apply_mlp(params.actor, obs, self.activation, self.actor_out_act, self.compute_dtype)
 
     def std(self, params: ActorCriticParams):
         if self.fixed_std:
@@ -135,5 +153,5 @@ class ActorCritic:
         return self.action_mean(params, obs)
 
     def evaluate(self, params: ActorCriticParams, critic_obs):
-        v = apply_mlp(params.critic, critic_obs, self.activation, self.critic_out_act)
+        v = apply_mlp(params.critic, critic_obs, self.activation, self.critic_out_act, self.compute_dtype)
         return jnp.squeeze(v, axis=-1)

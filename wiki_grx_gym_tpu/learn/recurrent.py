@@ -142,7 +142,7 @@ class ActorCriticRecurrent(ActorCritic):
 
     def act_rnn(self, params, obs, hidden: Hidden, key):
         feat, ha, ca = _memory_step(params.memory_a, obs, hidden.ha, hidden.ca)
-        mean = apply_mlp(params.actor, feat, self.activation, self.actor_out_act)
+        mean = apply_mlp(params.actor, feat, self.activation, self.actor_out_act, self.compute_dtype)
         std = jnp.broadcast_to(self.std(params), mean.shape)
         actions = mean + std * jax.random.normal(key, mean.shape)
         logp = self.log_prob(mean, std, actions)
@@ -150,12 +150,12 @@ class ActorCriticRecurrent(ActorCritic):
 
     def evaluate_rnn(self, params, critic_obs, hidden: Hidden):
         feat, hc, cc = _memory_step(params.memory_c, critic_obs, hidden.hc, hidden.cc)
-        v = apply_mlp(params.critic, feat, self.activation, self.critic_out_act)
+        v = apply_mlp(params.critic, feat, self.activation, self.critic_out_act, self.compute_dtype)
         return jnp.squeeze(v, axis=-1), hidden._replace(hc=hc, cc=cc)
 
     def act_inference_rnn(self, params, obs, hidden: Hidden):
         feat, ha, ca = _memory_step(params.memory_a, obs, hidden.ha, hidden.ca)
-        mean = apply_mlp(params.actor, feat, self.activation, self.actor_out_act)
+        mean = apply_mlp(params.actor, feat, self.activation, self.actor_out_act, self.compute_dtype)
         return mean, hidden._replace(ha=ha, ca=ca)
 
     # -- sequence replay (update) ------------------------------------------
@@ -179,11 +179,11 @@ class ActorCriticRecurrent(ActorCritic):
         feats = self.features_seq(
             params.memory_a, obs_seq, done_prev, hidden0.ha, hidden0.ca
         )
-        return apply_mlp(params.actor, feats, self.activation, self.actor_out_act)
+        return apply_mlp(params.actor, feats, self.activation, self.actor_out_act, self.compute_dtype)
 
     def evaluate_seq(self, params, critic_obs_seq, done_prev, hidden0: Hidden):
         feats = self.features_seq(
             params.memory_c, critic_obs_seq, done_prev, hidden0.hc, hidden0.cc
         )
-        v = apply_mlp(params.critic, feats, self.activation, self.critic_out_act)
+        v = apply_mlp(params.critic, feats, self.activation, self.critic_out_act, self.compute_dtype)
         return jnp.squeeze(v, axis=-1)

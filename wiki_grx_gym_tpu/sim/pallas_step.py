@@ -37,7 +37,7 @@ _LANE = 128
 ENV_BLOCK = _SUB * _LANE   # 1024 envs per grid step
 
 
-def _schema(nd: int, np_: int, nf: int, with_last_qd: bool):
+def _schema(nd: int, np_: int, nf: int, with_last_qd: bool, npost: int = 0):
     """(name, count) component layout for kernel input/output packing."""
     state = [
         ("pos", 3), ("quat", 4), ("lin", 3), ("ang", 3),
@@ -54,6 +54,9 @@ def _schema(nd: int, np_: int, nf: int, with_last_qd: bool):
         ("force_sum", nf), ("vxyz_sum", 3 * nf), ("vrpy_sum", 3 * nf),
         ("tau", nd), ("point_force", 3 * np_),
     ]
+    if npost:
+        # final-state FK of the env's post-physics bodies (feet + frames)
+        outputs += [("post_quat", 4 * npost), ("post_rel", 3 * npost)]
     return inputs, outputs
 
 
@@ -77,9 +80,10 @@ class PallasDecimation:
         self.nd = deci.sub.nd
         self.np_ = deci.sub.np_
         self.nf = len(deci.feet_bodies)
+        self.npost = len(deci.post_bodies)
         self.with_last_qd = deci.control_type == "V"
         self.in_schema, self.out_schema = _schema(
-            self.nd, self.np_, self.nf, self.with_last_qd
+            self.nd, self.np_, self.nf, self.with_last_qd, self.npost
         )
         self.in_off, self.c_in = _offsets(self.in_schema)
         self.out_off, self.c_out = _offsets(self.out_schema)
@@ -147,6 +151,9 @@ class PallasDecimation:
             + acc["tau"]
             + [c for p in acc["point_force"] for c in p]
         )
+        if self.npost:
+            flat_out += [c for q in acc["post_quat"] for c in q]
+            flat_out += [c for r in acc["post_rel"] for c in r]
         assert len(flat_out) == self.c_out
         for i, lane in enumerate(flat_out):
             out_ref[i, 0] = jnp.broadcast_to(lane, (_SUB, _LANE)).astype(jnp.float32)
@@ -155,7 +162,8 @@ class PallasDecimation:
 
     def __call__(self, phys, actions, last_actions, motor, delay, rand, last_qd=None):
         """Returns (new_phys, force_sum (N,F), vxyz_sum (N,F,3),
-        vrpy_sum (N,F,3), tau (N,D), point_force (N,P,3))."""
+        vrpy_sum (N,F,3), tau (N,D), point_force (N,P,3),
+        post_kin: (post_rel (N,R,3), post_quat (N,R,4)) or None)."""
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
@@ -197,6 +205,12 @@ class PallasDecimation:
             qd=take("qd"),
             anchor=take("anchor").reshape(n, self.np_, 3),
         )
+        post_kin = None
+        if self.npost:
+            post_kin = (
+                take("post_rel").reshape(n, self.npost, 3),
+                take("post_quat").reshape(n, self.npost, 4),
+            )
         return (
             new_phys,
             take("force_sum"),
@@ -204,4 +218,5 @@ class PallasDecimation:
             take("vrpy_sum").reshape(n, self.nf, 3),
             take("tau"),
             take("point_force").reshape(n, self.np_, 3),
+            post_kin,
         )

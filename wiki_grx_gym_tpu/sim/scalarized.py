@@ -522,6 +522,7 @@ class ScalarDecimation:
         torque_limits: np.ndarray,
         feet_bodies: Sequence[int],
         feet_point_groups: Sequence[Sequence[int]],
+        post_bodies: Sequence[int] = (),
     ):
         self.sub = sub
         self.decimation = int(decimation)
@@ -533,6 +534,10 @@ class ScalarDecimation:
         self.torque_limits = np.asarray(torque_limits, np.float64)
         self.feet_bodies = tuple(int(b) for b in feet_bodies)
         self.feet_point_groups = tuple(tuple(int(p) for p in g) for g in feet_point_groups)
+        # bodies whose final-state FK the env consumes post-physics (feet +
+        # orientation-reward frames); emitting it from the kernel saves the
+        # XLA-side FK recompute of legged_env.step
+        self.post_bodies = tuple(int(b) for b in post_bodies)
 
     def torques(self, state, use_act, motor_strength, last_qd=None):
         """legged_env._pd_torques in component form."""
@@ -598,6 +603,14 @@ class ScalarDecimation:
             "tau": taus,
             "point_force": aux["point_force"],
         }
+        if self.post_bodies:
+            # FK of the *final* (post-integration) state — exactly what
+            # legged_env.step recomputes post-physics (legged_env.py:568)
+            quats, pos_rel, _, _ = self.sub.fk(state)
+            like = state["pos"][0]
+            lane = lambda v: v + jnp.zeros_like(like) if isinstance(v, float) else v
+            acc["post_quat"] = [[lane(c) for c in quats[b]] for b in self.post_bodies]
+            acc["post_rel"] = [[lane(c) for c in pos_rel[b]] for b in self.post_bodies]
         return state, acc
 
 
