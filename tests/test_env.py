@@ -278,3 +278,20 @@ def test_self_collision_inactive_at_default_pose(small_env):
         env.self_pairs[0], env.self_pairs[1], 0.002,
     )
     assert float(jnp.max(jnp.abs(f))) == 0.0
+
+
+def test_full_body_tasks_have_active_rewards():
+    """The reference's full-body GR1T1Cfg ships with empty reward scales
+    (gr1t1_config.py:258-259) and is never registered as a task
+    (envs/__init__.py:42-54) — our registered GR1T1_full/GR1T2_full must
+    use the trainable extension configs (GR1T1FullCfg) instead, or a
+    training run silently optimizes pure noise."""
+    for task in ("GR1T1_full", "GR1T2_full"):
+        env_cfg, train_cfg = task_registry.get_cfgs(task)
+        from wiki_grx_gym_tpu.envs.base_config import class_to_dict
+
+        scales = {
+            k: v for k, v in class_to_dict(env_cfg.rewards.scales).items() if v != 0
+        }
+        assert len(scales) >= 20, (task, sorted(scales))
+        assert "cmd_diff_lin_vel_x" in scales

@@ -172,14 +172,15 @@ def test_pallas_wrapper_matches_scalar_eager(env):
 def test_pallas_auto_gating(env):
     # auto on CPU -> scan backend
     assert env._pallas_mode() is None
-    # forcing on with heightfield terrain raises (in-kernel lookups not done)
+    # heightfield terrain uses the local-plane kernel path (per-point ground
+    # planes resampled per policy step); forcing the kernel on must build it
     cfg2, _ = task_registry.get_cfgs("GR1T1")
     cfg2.env.num_envs = 4
     cfg2.terrain.mesh_type = "heightfield"
-    cfg2.sim.use_pallas = True
+    cfg2.sim.use_pallas = "interpret"
     env2, _ = task_registry.make_env("GR1T1", env_cfg=cfg2)
-    with pytest.raises(NotImplementedError):
-        env2._pallas_mode()
+    assert env2._pallas_mode() == "interpret"
+    assert env2._pallas_decimation.deci.sub.terrain_mode == "local_plane"
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs a TPU")

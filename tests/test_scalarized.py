@@ -50,14 +50,14 @@ def random_states(env, n, seed=0):
     )
 
 
-def engine_substep(env, phys, tau, rand):
+def engine_substep(env, phys, tau, rand, damp=None):
     step = jax.vmap(
-        lambda p, t, r: physics_step(
+        lambda p, t, r, d: physics_step(
             env.model, p, t, env.height_fn, env.contact_params, r,
-            env.sim_dt, self_pairs=env.self_pairs,
+            env.sim_dt, self_pairs=env.self_pairs, joint_damping=d,
         )
     )
-    return step(phys, tau, rand)
+    return step(phys, tau, rand, damp)
 
 
 def test_substep_matches_engine(env):
@@ -176,7 +176,8 @@ def test_decimation_matches_env_scan(env):
             ph, accf, accv, accr, _ = carry
             use_act = jnp.where(i < delay[:, None], last_actions, actions)
             tau = env._pd_torques(ph.q, ph.qd, use_act, motor)
-            ph, out = engine_substep(env, ph, tau, rand)
+            damp = jnp.asarray(env._implicit_damping_const) * motor
+            ph, out = engine_substep(env, ph, tau, rand, damp)
             foot_force = env._group_forces(out.point_force, env.feet_point_groups)
             accf = accf + jnp.linalg.norm(foot_force, axis=-1)
             fb = jnp.asarray(env.feet_bodies, jnp.int32)
@@ -203,6 +204,7 @@ def test_decimation_matches_env_scan(env):
         env.cfg.control.action_scale, np.asarray(env.p_gains),
         np.asarray(env.d_gains), np.asarray(env.default_dof_pos),
         np.asarray(env.torque_limits), env.feet_bodies, env.feet_point_groups,
+        damping_coeff=env._implicit_damping_const,
     )
 
     def scalar_roll(phys):
@@ -240,4 +242,71 @@ def test_decimation_matches_env_scan(env):
         np.testing.assert_allclose(
             np.asarray(got[k]), np.asarray(want[k]), rtol=2e-3, atol=2e-2,
             err_msg=names[k],
+        )
+
+
+def test_local_plane_contact_matches_engine_on_slope(env):
+    """terrain_mode="local_plane" vs the engine evaluating the true height
+    function: on a planar slope the per-point local planes ARE the terrain,
+    so a multi-substep trajectory must match to float tolerance (the
+    general-normal contact math is exercised end-to-end: inclined normals,
+    tangent-plane anchors, cone projection).
+
+    Two substeps: the second exercises anchor continuity across steps.
+    The scalar path runs eagerly (disable_jit) like the other oracle tests
+    here — jitting it hands XLA-CPU a multi-thousand-op unrolled scalar
+    graph whose compile exceeded 15 min per substep count tried."""
+    n = 8
+    gx, gy = 0.18, -0.11   # ~12 deg slope
+    slope_fn = lambda x, y: gx * x + gy * y
+
+    phys = random_states(env, n, seed=7)
+    # raise bases so feet straddle the slope surface near their xy
+    h_at = gx * phys.base_pos[:, 0] + gy * phys.base_pos[:, 1]
+    phys = phys.replace(base_pos=phys.base_pos.at[:, 2].add(h_at))
+    rng = np.random.RandomState(8)
+    tau = jnp.asarray(rng.randn(n, env.num_dof).astype(np.float32) * 5.0)
+    rand = BodyRandomization(
+        friction=jnp.ones(n), restitution=jnp.zeros(n),
+        base_mass_scale=jnp.ones(n), base_com_offset=jnp.zeros((n, 3)),
+    )
+
+    def eng_roll(phys):
+        step = jax.vmap(
+            lambda p, t, r: physics_step(
+                env.model, p, t, slope_fn, env.contact_params, r,
+                env.sim_dt, self_pairs=env.self_pairs,
+            )
+        )
+        for _ in range(2):
+            phys, _ = step(phys, tau, rand)
+        return phys
+
+    sub = ScalarSubstep(
+        env.model, env.contact_params, env.sim_dt, env.self_pairs,
+        terrain_mode="local_plane",
+    )
+    taus = [tau[..., i] for i in range(env.num_dof)]
+    plane = [[jnp.zeros(n), jnp.full((n,), gx), jnp.full((n,), gy)]
+             for _ in range(env.model.num_points)]
+
+    def scalar_roll(phys):
+        lanes = state_to_lanes(phys)
+        lanes.update(
+            friction=rand.friction, restitution=rand.restitution,
+            mass_scale=rand.base_mass_scale,
+            com_offset=[rand.base_com_offset[..., k] for k in range(3)],
+            plane=plane,
+        )
+        for _ in range(2):
+            lanes, _ = sub.substep(lanes, taus)
+        return lanes_to_state(lanes, PhysicsState)
+
+    want = jax.jit(eng_roll)(phys)
+    with jax.disable_jit():   # same reason as test_substep_matches_engine
+        got = scalar_roll(phys)
+    for name in ("base_pos", "base_quat", "base_lin_vel", "base_ang_vel", "q", "qd", "anchor"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name)), np.asarray(getattr(want, name)),
+            rtol=2e-4, atol=2e-5, err_msg=name,
         )

@@ -4,15 +4,19 @@ configs are additionally exposed under explicit names."""
 
 from wiki_grx_gym_tpu.envs.legged_env import EnvState, LeggedEnv, StepOutput  # noqa: F401
 from wiki_grx_gym_tpu.envs.gr1t1_config import (  # noqa: F401
-    GR1T1Cfg as GR1T1FullCfg,
-    GR1T1CfgPPO as GR1T1FullCfgPPO,
+    GR1T1Cfg,
+    GR1T1CfgPPO,
+    GR1T1FullCfg,
+    GR1T1FullCfgPPO,
     GR1T1LowerLimbCfg,
     GR1T1LowerLimbCfgPPO,
     GR1T1LowerLimbCfgPPOLstm,
 )
 from wiki_grx_gym_tpu.envs.gr1t2_config import (  # noqa: F401
-    GR1T2Cfg as GR1T2FullCfg,
-    GR1T2CfgPPO as GR1T2FullCfgPPO,
+    GR1T2Cfg,
+    GR1T2CfgPPO,
+    GR1T2FullCfg,
+    GR1T2FullCfgPPO,
     GR1T2LowerLimbCfg,
     GR1T2LowerLimbCfgPPO,
 )

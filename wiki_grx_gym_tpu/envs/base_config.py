@@ -76,6 +76,10 @@ class LeggedRobotCfg(BaseConfig):
         # URDF joint-limit enforcement (PhysX does this as hard constraints):
         # max limit violation in rad when driven at full effort; 0 disables
         joint_limit_violation = 0.05
+        # solve the PD drive's damping term implicitly — (M + dt*D) qdd = tau
+        # — mirroring PhysX's implicit joint drives; required for stability
+        # on small-inertia joints (full-body wrists: kd*dt/M ~ 200)
+        implicit_pd_damping = True
         # sphere-sphere self-collision spring (stiffer than the ground so
         # driven limb-limb contact stays under ~5 mm penetration)
         contact_self_collision_stiffness = 1.0e5

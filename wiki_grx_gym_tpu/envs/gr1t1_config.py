@@ -391,3 +391,27 @@ class GR1T1LowerLimbCfgPPOLstm(GR1T1LowerLimbCfgPPO):
         rnn_type = "lstm"
         rnn_hidden_size = 256
         rnn_num_layers = 1
+
+
+class GR1T1FullCfg(GR1T1Cfg):
+    """Trainable full-body (32-DOF) task — an extension beyond the reference.
+
+    The reference never registers the full-body config as a task
+    (legged_gym/envs/__init__.py:42-54 maps "GR1T1" to the lower-limb
+    variant) and leaves `GR1T1Cfg.rewards.scales` empty
+    (gr1t1_config.py:258-259 sets only termination=0), so the full-body
+    base cannot train as shipped. This config adopts the validated
+    lower-limb reward recipe (gr1t1_lower_limb_config.py:41-69) over the
+    full body: every term (tracking, pose offset, action smoothness,
+    joint limits, feet gait shaping) is DOF-generic, so the same scales
+    regularize the 22 extra waist/head/arm joints through pose_offset,
+    action_diff, dof_acc/tor and the limit penalties."""
+
+    class rewards(GR1T1Cfg.rewards):
+        class scales(GR1T1LowerLimbCfg.rewards.scales):
+            pass
+
+
+class GR1T1FullCfgPPO(GR1T1CfgPPO):
+    class runner(GR1T1CfgPPO.runner):
+        run_name = "gr1t1_full"

@@ -73,6 +73,10 @@ class EnvState:
     terrain_levels: jax.Array        # (N,) int32 (terrain curriculum)
     terrain_types: jax.Array         # (N,) int32
     cmd_lin_vel_x_range: jax.Array   # (2,) command-curriculum state
+    # per-contact-point local ground planes (c, gx, gy), (N, P, 3) — only
+    # populated on the Pallas kernel path over heightfield terrain
+    # (sim/scalarized.py terrain_mode="local_plane"); None otherwise
+    ground_plane: Any = None
 
 
 class StepOutput(NamedTuple):
@@ -406,6 +410,7 @@ class LeggedEnv:
             env_origins=origins,
             terrain_levels=levels,
             terrain_types=types,
+            # ground_plane filled by _refresh_ground_plane below
             cmd_lin_vel_x_range=jnp.asarray(c.commands.ranges.lin_vel_x, jnp.float32),
         )
         # force a full reset of every env (BaseTask.reset, base_task.py:117-121);
@@ -413,6 +418,7 @@ class LeggedEnv:
         # legged_robot.py:806-808)
         done = jnp.ones(n, bool)
         state = self._reset_where(state, done, update_curriculum=False)
+        state = self._refresh_ground_plane(state, done)
         return state
 
     # ------------------------------------------------------------------
@@ -443,6 +449,27 @@ class LeggedEnv:
         tau = tau * motor_strength
         return jnp.clip(tau, -self.torque_limits, self.torque_limits)
 
+    @functools.cached_property
+    def _implicit_damping_const(self):
+        """(D,) actuator-damping coefficient solved implicitly by the engine
+        (``-d tau / d qd`` of the PD law), or None. PhysX solves joint drives
+        implicitly inside TGS, which is why the reference survives kd on
+        ~1e-5 kg m^2 wrist links at dt=0.002; the explicit-PD analogue
+        diverges (kd*dt/M ~ 200 >> 2). cfg.sim.implicit_pd_damping gates it
+        (default on)."""
+        if not getattr(self.cfg.sim, "implicit_pd_damping", True):
+            return None
+        ct = self.cfg.control.control_type
+        # numpy on the concrete gain arrays: this property may be first
+        # touched inside a jit trace, where jnp ops would return tracers
+        if ct == "P":
+            coeff = np.asarray(self.d_gains)
+        elif ct == "V":
+            coeff = np.asarray(self.p_gains) + np.asarray(self.d_gains) / self.sim_dt
+        else:  # T: torques don't depend on qd
+            return None
+        return coeff
+
     # ------------------------------------------------------------------
     # decimation-loop backends
     # ------------------------------------------------------------------
@@ -452,11 +479,6 @@ class LeggedEnv:
         up = getattr(self.cfg.sim, "use_pallas", "auto")
         if up is False or up == "off":
             return None
-        if self.terrain is not None:
-            # in-kernel heightfield lookups not supported yet; auto falls back
-            if up == "auto":
-                return None
-            raise NotImplementedError("Pallas decimation supports plane terrain only")
         if up == "interpret":
             return "interpret"
         if up is True or up == "on":
@@ -468,13 +490,17 @@ class LeggedEnv:
         from wiki_grx_gym_tpu.sim.pallas_step import PallasDecimation
         from wiki_grx_gym_tpu.sim.scalarized import ScalarDecimation, ScalarSubstep
 
-        sub = ScalarSubstep(self.model, self.contact_params, self.sim_dt, self.self_pairs)
+        sub = ScalarSubstep(
+            self.model, self.contact_params, self.sim_dt, self.self_pairs,
+            terrain_mode="local_plane" if self.terrain is not None else "plane",
+        )
         deci = ScalarDecimation(
             sub, self.decimation, self.cfg.control.control_type,
             self.cfg.control.action_scale, np.asarray(self.p_gains),
             np.asarray(self.d_gains), np.asarray(self.default_dof_pos),
             np.asarray(self.torque_limits), self.feet_bodies, self.feet_point_groups,
             post_bodies=self.post_fk_bodies,
+            damping_coeff=self._implicit_damping_const,
         )
         return PallasDecimation(deci, interpret=self._pallas_mode() == "interpret")
 
@@ -493,6 +519,53 @@ class LeggedEnv:
     def _post_slot(self):
         return {b: i for i, b in enumerate(self.post_fk_bodies)}
 
+    @functools.cached_property
+    def _default_point_rel(self):
+        """(P, 3) base-frame contact-point positions at the default pose —
+        the plane-resampling proxy for just-reset envs (their state IS the
+        default pose up to the init-dof randomization's ~0.1 rad)."""
+        kin = forward_kinematics(
+            self.model, jnp.asarray([0.0, 0.0, 0.0, 1.0]), jnp.zeros(3),
+            jnp.zeros(3), self.default_dof_pos, jnp.zeros(self.model.num_dof),
+        )
+        pb = jnp.asarray(self.model.point_body, jnp.int32)
+        return jnp.asarray(
+            kin.pos_rel[pb] + maths.quat_apply(kin.quat[pb], self.model.point_offset)
+        )
+
+    def _sample_point_planes(self, pos: jax.Array) -> jax.Array:
+        """(N, P, 3) world point positions -> (N, P, 3) local ground planes
+        (c, gx, gy): h(x, y) = c + gx*x + gy*y. Gradient by the same central
+        differences as contact.ground_normal, so the kernel's contact normal
+        matches the XLA path's at the sample point."""
+        x, y = pos[..., 0], pos[..., 1]
+        eps = 0.05
+        hf = self.height_fn
+        h = hf(x, y)
+        gx = (hf(x + eps, y) - hf(x - eps, y)) / (2.0 * eps)
+        gy = (hf(x, y + eps) - hf(x, y - eps)) / (2.0 * eps)
+        return jnp.stack([h - gx * x - gy * y, gx, gy], axis=-1)
+
+    def _refresh_ground_plane(self, state: EnvState, reset_mask, point_pos=None):
+        """Resample the per-point ground planes for the next policy step
+        (kernel-over-heightfield path only). Non-reset envs sample at the
+        kernel's final-state point positions (exact); just-reset envs at the
+        default-pose offsets around their new root (the spawn platform is
+        locally flat, so the approximation is benign and self-corrects next
+        step)."""
+        if self._pallas_mode() is None or self.terrain is None:
+            return state
+        phys = state.physics
+        pp_reset = phys.base_pos[:, None, :] + maths.quat_apply(
+            jnp.broadcast_to(phys.base_quat[:, None, :], (self.num_envs, self.model.num_points, 4)),
+            jnp.broadcast_to(self._default_point_rel, (self.num_envs, self.model.num_points, 3)),
+        )
+        if point_pos is None:
+            pp = pp_reset
+        else:
+            pp = jnp.where(reset_mask[:, None, None], pp_reset, point_pos)
+        return state.replace(ground_plane=self._sample_point_planes(pp))
+
     def _run_decimation(self, state: EnvState, actions: jax.Array, delay: jax.Array):
         """Dispatch the hot loop: Pallas VMEM mega-kernel (plane terrain) or
         the vmapped-engine lax.scan. Identical outputs
@@ -502,19 +575,24 @@ class LeggedEnv:
                 state.physics, actions, state.last_actions, state.motor_strength,
                 delay[:, 0], state.rand,
                 last_qd=state.last_dof_vel,
+                plane=state.ground_plane,
             )
-        return self._decimation_scan(state, actions, delay)
+        return self._decimation_scan(state, actions, delay) + (None,)
 
     def _decimation_scan(self, state: EnvState, actions: jax.Array, delay: jax.Array):
         n, f = self.num_envs, self.num_feet
 
-        def one_substep(phys, tau, rand):
+        imp_d = self._implicit_damping_const
+
+        def one_substep(phys, tau, rand, damp):
             return physics_step(
                 self.model, phys, tau, self.height_fn, self.contact_params, rand,
-                self.sim_dt, self_pairs=self.self_pairs,
+                self.sim_dt, self_pairs=self.self_pairs, joint_damping=damp,
             )
 
         vstep = jax.vmap(one_substep)
+        # drive damping scales with the motor-strength DR like the torque does
+        damp = None if imp_d is None else jnp.asarray(imp_d) * state.motor_strength
 
         def substep(carry, i):
             phys, accum_force, accum_vxyz, accum_vrpy, _ = carry
@@ -522,7 +600,7 @@ class LeggedEnv:
             tau = self._pd_torques(
                 phys.q, phys.qd, use_act, state.motor_strength, last_qd=state.last_dof_vel
             )
-            phys, out = vstep(phys, tau, state.rand)
+            phys, out = vstep(phys, tau, state.rand, damp)
             # per-foot net force norm (N, F)
             foot_force = self._group_forces(out.point_force, self.feet_point_groups)
             accum_force = accum_force + jnp.linalg.norm(foot_force, axis=-1)
@@ -562,7 +640,7 @@ class LeggedEnv:
         else:
             delay = jnp.zeros((n, 1))
 
-        phys, sum_force, sum_vxyz, sum_vrpy, torques, point_force, post_kin = (
+        phys, sum_force, sum_vxyz, sum_vrpy, torques, point_force, post_kin, point_pos = (
             self._run_decimation(state, actions, delay)
         )
         avg_feet_contact_force = sum_force / self.decimation
@@ -769,6 +847,7 @@ class LeggedEnv:
             feet_land_time=feet_land_time,
         )
         state = self._reset_where(state, reset_buf, key=k_reset, update_curriculum=True)
+        state = self._refresh_ground_plane(state, reset_buf, point_pos=point_pos)
 
         # record "last" values (legged_robot.py:299-300 + fftai:94-97);
         # reset envs keep zeros from _reset_where
@@ -1101,6 +1180,7 @@ class LeggedEnv:
         """Reset all envs then step zero actions (base_task.py:117-121)."""
         n = self.num_envs
         state = self._reset_where(state, jnp.ones(n, bool))
+        state = self._refresh_ground_plane(state, jnp.ones(n, bool))
         return self.step(state, jnp.zeros((n, self.num_actions)))
 
     @functools.cached_property

@@ -51,7 +51,8 @@ class PPOState:
 
 
 class PPO:
-    def __init__(self, net: ActorCritic, alg_cfg, extra_loss_fn=None, perm_groups: int = 1):
+    def __init__(self, net: ActorCritic, alg_cfg, extra_loss_fn=None, perm_groups: int = 1,
+                 shuffle_block: int = 16):
         """``extra_loss_fn(params, minibatch) -> scalar`` is the extension
         hook the reference exposes as ``calculate_other_loss``
         (ppo.py:289-295,323-324) for imitation/symmetry losses — e.g. a
@@ -63,11 +64,22 @@ class PPO:
         axis, indices replicated) and each minibatch draws equally from
         every group — zero cross-dp traffic in the update besides the
         gradient all-reduce. 1 == the reference's global shuffle
-        (base_storage.py:157-198)."""
+        (base_storage.py:157-198).
+
+        ``shuffle_block``: the shuffle's sample granularity. Permuting
+        individual (t, env) samples makes XLA gather each scalar field 4
+        bytes at a time — measured at ~107 ms of a 192 ms training
+        iteration at 4096 envs. Permuting *blocks* of ``shuffle_block``
+        consecutive timesteps of one env moves all fields as one packed
+        contiguous row (block x features, ~15 KB) per gather — HBM-speed —
+        while each minibatch still mixes hundreds of random (env, window)
+        chunks from the whole batch. 1 == the reference's exact per-sample
+        shuffle semantics."""
         self.net = net
         self.cfg = alg_cfg
         self.extra_loss_fn = extra_loss_fn
         self.perm_groups = int(perm_groups)
+        self.shuffle_block = int(shuffle_block)
         self.gamma = float(alg_cfg.gamma)
         self.lam = float(alg_cfg.lam)
         self.clip_param = float(alg_cfg.clip_param)
@@ -102,25 +114,29 @@ class PPO:
     def compute_returns(self, batch: Transition, last_values: jax.Array):
         """GAE (base_storage.py:120-141). ``batch`` leaves are (T, N, ...).
 
+        The backward recurrence ``adv_t = delta_t + (gamma*lam*notdone_t) *
+        adv_{t+1}`` is a first-order linear recurrence, evaluated as a
+        parallel prefix (`lax.associative_scan`, log2(T) passes over the
+        whole (T, N) batch) instead of T sequential launch-latency-bound
+        steps.
+
         Returns (returns, normalized advantages), each (T, N)."""
+        not_terminal = 1.0 - batch.dones.astype(jnp.float32)
+        next_values = jnp.concatenate([batch.values[1:], last_values[None]], axis=0)
+        delta = batch.rewards + not_terminal * self.gamma * next_values - batch.values
+        coeff = not_terminal * (self.gamma * self.lam)
 
-        def scan_fn(carry, xs):
-            advantage, next_values = carry
-            reward, done, value = xs
-            not_terminal = 1.0 - done
-            delta = reward + not_terminal * self.gamma * next_values - value
-            advantage = delta + not_terminal * self.gamma * self.lam * advantage
-            return (advantage, value), advantage + value
+        def combine(a, b):
+            # a = accumulated earlier prefix, b = next element of
+            # y_k = d_k + c_k * y_{k-1}  (applied to the time-reversed arrays)
+            return a[0] * b[0], b[1] + b[0] * a[1]
 
-        n = batch.rewards.shape[1]
-        (_, _), returns = jax.lax.scan(
-            scan_fn,
-            (jnp.zeros(n), last_values),
-            (batch.rewards, batch.dones.astype(jnp.float32), batch.values),
-            reverse=True,
+        _, adv_rev = jax.lax.associative_scan(
+            combine, (jnp.flip(coeff, 0), jnp.flip(delta, 0))
         )
-        adv = returns - batch.values
-        adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+        adv_raw = jnp.flip(adv_rev, 0)
+        returns = adv_raw + batch.values
+        adv = (adv_raw - adv_raw.mean()) / (adv_raw.std() + 1e-8)
         return returns, adv
 
     # ------------------------------------------------------------------
@@ -193,41 +209,68 @@ class PPO:
         shared group-local permutation per epoch. On a dp mesh (G a multiple
         of |dp|) the gather indexes the unsharded axis only, so XLA partitions
         it without collectives; G=1 degenerates to the reference's global
-        flat shuffle."""
+        flat shuffle.
+
+        All nine fields are packed into one ``(G, L/B, B*F)`` array once per
+        update, and the shuffle permutes blocks of ``B = shuffle_block``
+        consecutive samples: one gather per minibatch, rows of ``B*F``
+        contiguous floats. See the class docstring for why (4-byte scalar
+        gathers were the single most expensive op of the whole iteration)."""
         t, n = batch.rewards.shape
         g = self.perm_groups
         assert n % g == 0, f"num_envs {n} not divisible by perm_groups {g}"
         l = (n // g) * t
-        mb_local = l // self.num_mini_batches
-        used = mb_local * self.num_mini_batches
 
-        def to_groups(x):
-            x = jnp.swapaxes(x, 0, 1)                       # (N, T, ...)
-            return x.reshape(g, l, *x.shape[2:])
+        # block size: as configured, but (a) capped at T/4 so every
+        # trajectory is cut into >= 4 shuffled windows (time decorrelation),
+        # (b) a divisor of T so blocks never straddle env boundaries,
+        # (c) small enough that every minibatch gets >= 1 block per group
+        b = max(1, min(self.shuffle_block, t // 4))
+        while b > 1 and ((t % b) or (l // b) < self.num_mini_batches):
+            b -= 1
+        n_blocks = l // b
+        mb_blocks = n_blocks // self.num_mini_batches
+        used = mb_blocks * self.num_mini_batches
 
-        flat = {
-            "obs": to_groups(batch.obs),
-            "critic_obs": to_groups(batch.critic_obs),
-            "actions": to_groups(batch.actions),
-            "log_prob": to_groups(batch.log_prob),
-            "mu": to_groups(batch.mu),
-            "sigma": to_groups(batch.sigma),
-            "values": to_groups(batch.values),
-            "returns": to_groups(returns),
-            "advantages": to_groups(advantages),
-        }
+        def feat(x):
+            return x[..., None] if x.ndim == 2 else x
+
+        fields = [
+            ("obs", feat(batch.obs)),
+            ("critic_obs", feat(batch.critic_obs)),
+            ("actions", feat(batch.actions)),
+            ("log_prob", feat(batch.log_prob)),
+            ("mu", feat(batch.mu)),
+            ("sigma", feat(batch.sigma)),
+            ("values", feat(batch.values)),
+            ("returns", feat(returns)),
+            ("advantages", feat(advantages)),
+        ]
+        sizes = [x.shape[-1] for _, x in fields]
+        offs = [0]
+        for s in sizes:
+            offs.append(offs[-1] + s)
+        f_tot = offs[-1]
+        squeeze = {"log_prob", "values", "returns", "advantages"}  # (T, N) scalars
+
+        packed = jnp.concatenate([x for _, x in fields], axis=-1)      # (T, N, F)
+        packed = jnp.swapaxes(packed, 0, 1).reshape(g, n_blocks, b * f_tot)
 
         # one fresh permutation per epoch (base_storage.py:169 draws once per
         # update; per-epoch draws are strictly more shuffled)
         epoch_keys = jax.random.split(key, self.num_learning_epochs)
         perms = jnp.stack(
-            [jax.random.permutation(k, l)[:used] for k in epoch_keys]
-        ).reshape(self.num_learning_epochs * self.num_mini_batches, mb_local)
+            [jax.random.permutation(k, n_blocks)[:used] for k in epoch_keys]
+        ).reshape(self.num_learning_epochs * self.num_mini_batches, mb_blocks)
 
         def get_mb(idx):
-            return {
-                k: v[:, idx].reshape(g * mb_local, *v.shape[2:]) for k, v in flat.items()
-            }
+            rows = packed[:, idx]                                       # (G, MB, B*F)
+            flat = rows.reshape(g * mb_blocks * b, f_tot)
+            mb = {}
+            for (name, _), o, s in zip(fields, offs, sizes):
+                v = jax.lax.slice_in_dim(flat, o, o + s, axis=1)
+                mb[name] = v[:, 0] if name in squeeze else v
+            return mb
 
         return self._run_epochs(ppo_state, perms, get_mb, self._minibatch_loss)
 

@@ -93,7 +93,19 @@ class OnPolicyRunner:
                 pg = int(mesh.shape["dp"])
             else:
                 pg = 1
-        self.alg = PPO(self.net, self.alg_cfg, extra_loss_fn=extra_loss_fn, perm_groups=pg)
+        shuffle_block = int(getattr(self.alg_cfg, "shuffle_block", 16) or 16)
+        self.alg = PPO(self.net, self.alg_cfg, extra_loss_fn=extra_loss_fn, perm_groups=pg,
+                       shuffle_block=shuffle_block)
+
+        # a task with no active reward terms trains on pure noise — this
+        # bit silently in a 2000-iteration full-body run (the reference's
+        # full-body GR1T1Cfg ships with empty reward scales)
+        if not getattr(env, "reward_names", ("_",)):
+            print(
+                "WARNING: env has ZERO active reward terms (all scales are 0) "
+                "— training will not learn anything. Check cfg.rewards.scales.",
+                flush=True,
+            )
 
         self.writer = None
         self.tot_timesteps = 0

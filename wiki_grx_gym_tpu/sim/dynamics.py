@@ -245,6 +245,7 @@ def forward_dynamics(
     base_mass_scale: jax.Array = None,   # DR: mass multiplier on body 0
     base_com_offset: jax.Array = None,   # DR: (3,) body-frame com shift on body 0
     fixed_base: bool = False,            # asset option fix_base_link (legged_robot_config.py:119)
+    joint_diag: jax.Array = None,        # (D,) extra joint-block diagonal (implicit PD damping)
 ) -> ForwardDynamics:
     nd = model.num_dof
     mass, com_rel, blocks = inertial_quantities(model, kin, base_mass_scale, base_com_offset)
@@ -259,6 +260,16 @@ def forward_dynamics(
     m_full = mass_matrix(model, kin, blocks)
 
     from wiki_grx_gym_tpu.ops.linalg import spd_solve
+
+    if joint_diag is not None:
+        # implicit actuator damping: solving (M + dt*D) qdd = tau_explicit is
+        # the exact backward-Euler treatment of the -D*qd drive term — the
+        # TPU-native analogue of PhysX's implicit joint drives, which is what
+        # keeps kd stable on tiny-inertia links (wrists: kd*dt/M ~ 200 with
+        # explicit damping vs the <2 stability bound)
+        m_full = m_full + jnp.diag(
+            jnp.concatenate([jnp.zeros(6, qd.dtype), joint_diag])
+        )
 
     if fixed_base:
         m_jj = m_full[6:, 6:] + _RIDGE * jnp.eye(nd, dtype=qd.dtype)

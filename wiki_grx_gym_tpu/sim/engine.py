@@ -107,18 +107,24 @@ def physics_step(
     dt: float,
     fixed_base: bool = False,
     self_pairs: tuple = ((), ()),   # static (pairs_i, pairs_j) for self-collision
+    joint_damping: jax.Array = None,  # (D,) actuator damping solved implicitly
 ) -> tuple[PhysicsState, PhysicsOutput]:
     # joint position limits (legged_robot.py:594-615 reads them from the
     # URDF; PhysX enforces them as hard constraints). Effort-scaled penalty:
-    # k_i = effort_i / joint_limit_violation, with velocity damping 2*k*dt
-    # active only inside the violation — stable at dt=0.002 for the GRx
-    # inertias (w*dt < 0.3 for every joint).
+    # k_i = effort_i / joint_limit_violation, damping 2*k*dt active only
+    # inside the violation. The damping is integrated implicitly (see
+    # forward_dynamics joint_diag), which makes the pair unconditionally
+    # stable for ANY k and inertia: with D = 2k*dt the spring's discrete
+    # contraction factor is dt*k/D = 1/2 regardless of M (explicit damping
+    # was unstable on the full-body wrists, kd*dt/M ~ 80).
     if contact_params.joint_limit_violation > 0.0 and model.num_dof:
         k_lim = model.dof_effort_limit / contact_params.joint_limit_violation
         over = jnp.maximum(state.q - model.dof_upper, 0.0)
         under = jnp.maximum(model.dof_lower - state.q, 0.0)
         violating = ((over > 0.0) | (under > 0.0)).astype(state.q.dtype)
-        tau = tau + k_lim * (under - over) - (2.0 * k_lim * dt) * state.qd * violating
+        lim_damp = (2.0 * k_lim * dt) * violating
+        tau = tau + k_lim * (under - over) - lim_damp * state.qd
+        joint_damping = lim_damp if joint_damping is None else joint_damping + lim_damp
 
     kin = forward_kinematics(
         model, state.base_quat, state.base_ang_vel, state.base_lin_vel, state.q, state.qd
@@ -172,6 +178,7 @@ def physics_step(
         base_mass_scale=rand.base_mass_scale,
         base_com_offset=rand.base_com_offset,
         fixed_base=fixed_base,
+        joint_diag=None if joint_damping is None else joint_damping * dt,
     )
 
     # semi-implicit Euler; conventional base-point acceleration needs the

@@ -37,7 +37,8 @@ _LANE = 128
 ENV_BLOCK = _SUB * _LANE   # 1024 envs per grid step
 
 
-def _schema(nd: int, np_: int, nf: int, with_last_qd: bool, npost: int = 0):
+def _schema(nd: int, np_: int, nf: int, with_last_qd: bool, npost: int = 0,
+            with_plane: bool = False):
     """(name, count) component layout for kernel input/output packing."""
     state = [
         ("pos", 3), ("quat", 4), ("lin", 3), ("ang", 3),
@@ -50,6 +51,10 @@ def _schema(nd: int, np_: int, nf: int, with_last_qd: bool, npost: int = 0):
     ]
     if with_last_qd:
         inputs.append(("last_qd", nd))
+    if with_plane:
+        # per-contact-point local ground planes (c, gx, gy) — heightfield
+        # terrain support (scalarized.ScalarSubstep terrain_mode)
+        inputs.append(("plane", 3 * np_))
     outputs = state + [
         ("force_sum", nf), ("vxyz_sum", 3 * nf), ("vrpy_sum", 3 * nf),
         ("tau", nd), ("point_force", 3 * np_),
@@ -57,6 +62,9 @@ def _schema(nd: int, np_: int, nf: int, with_last_qd: bool, npost: int = 0):
     if npost:
         # final-state FK of the env's post-physics bodies (feet + frames)
         outputs += [("post_quat", 4 * npost), ("post_rel", 3 * npost)]
+    if with_plane:
+        # final-state point positions: where the env resamples the planes
+        outputs += [("point_pos", 3 * np_)]
     return inputs, outputs
 
 
@@ -82,15 +90,18 @@ class PallasDecimation:
         self.nf = len(deci.feet_bodies)
         self.npost = len(deci.post_bodies)
         self.with_last_qd = deci.control_type == "V"
+        self.with_plane = deci.sub.terrain_mode == "local_plane"
         self.in_schema, self.out_schema = _schema(
-            self.nd, self.np_, self.nf, self.with_last_qd, self.npost
+            self.nd, self.np_, self.nf, self.with_last_qd, self.npost,
+            self.with_plane,
         )
         self.in_off, self.c_in = _offsets(self.in_schema)
         self.out_off, self.c_out = _offsets(self.out_schema)
 
     # -- packing ------------------------------------------------------------
 
-    def _pack(self, phys, actions, last_actions, motor, delay, rand, last_qd):
+    def _pack(self, phys, actions, last_actions, motor, delay, rand, last_qd,
+              plane=None):
         """(N, ...) arrays -> (C_in, nb, 8, 128) component array."""
         n = actions.shape[0]
         cols = [
@@ -103,6 +114,8 @@ class PallasDecimation:
         ]
         if self.with_last_qd:
             cols.append(last_qd)
+        if self.with_plane:
+            cols.append(plane.reshape(n, -1))
         comp = jnp.concatenate([c.astype(jnp.float32) for c in cols], axis=1).T  # (C, N)
         pad = (-n) % ENV_BLOCK
         if pad:
@@ -133,6 +146,9 @@ class PallasDecimation:
             "mass_scale": g(in_ref, "mass_scale")[0],
             "com_offset": g(in_ref, "com_offset"),
         }
+        if self.with_plane:
+            plane_flat = g(in_ref, "plane")
+            state["plane"] = [plane_flat[3 * p: 3 * p + 3] for p in range(np_)]
         actions = g(in_ref, "actions")
         last_actions = g(in_ref, "last_actions")
         motor = g(in_ref, "motor")
@@ -154,21 +170,25 @@ class PallasDecimation:
         if self.npost:
             flat_out += [c for q in acc["post_quat"] for c in q]
             flat_out += [c for r in acc["post_rel"] for c in r]
+        if self.with_plane:
+            flat_out += [c for p in acc["point_pos"] for c in p]
         assert len(flat_out) == self.c_out
         for i, lane in enumerate(flat_out):
             out_ref[i, 0] = jnp.broadcast_to(lane, (_SUB, _LANE)).astype(jnp.float32)
 
     # -- call ---------------------------------------------------------------
 
-    def __call__(self, phys, actions, last_actions, motor, delay, rand, last_qd=None):
+    def __call__(self, phys, actions, last_actions, motor, delay, rand, last_qd=None,
+                 plane=None):
         """Returns (new_phys, force_sum (N,F), vxyz_sum (N,F,3),
         vrpy_sum (N,F,3), tau (N,D), point_force (N,P,3),
-        post_kin: (post_rel (N,R,3), post_quat (N,R,4)) or None)."""
+        post_kin: (post_rel (N,R,3), post_quat (N,R,4)) or None,
+        point_pos (N,P,3) or None)."""
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
         comp, nb, n = self._pack(
-            phys, actions, last_actions, motor, delay, rand, last_qd
+            phys, actions, last_actions, motor, delay, rand, last_qd, plane
         )
 
         out = pl.pallas_call(
@@ -211,6 +231,9 @@ class PallasDecimation:
                 take("post_rel").reshape(n, self.npost, 3),
                 take("post_quat").reshape(n, self.npost, 4),
             )
+        point_pos = (
+            take("point_pos").reshape(n, self.np_, 3) if self.with_plane else None
+        )
         return (
             new_phys,
             take("force_sum"),
@@ -219,4 +242,5 @@ class PallasDecimation:
             take("tau"),
             take("point_force").reshape(n, self.np_, 3),
             post_kin,
+            point_pos,
         )

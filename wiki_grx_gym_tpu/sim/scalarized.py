@@ -141,12 +141,24 @@ class ScalarSubstep:
         dt: float,
         self_pairs=((), ()),
         ground_height: float = 0.0,
+        terrain_mode: str = "plane",
     ):
         self.model = model
         self.contact = contact
         self.dt = float(dt)
         self.self_pairs = tuple(zip(*self_pairs)) if self_pairs[0] else ()
         self.ground_height = float(ground_height)
+        # "plane": flat ground at ground_height (normal = +z, hardcoded).
+        # "local_plane": per-contact-point ground plane (c, gx, gy) lanes in
+        # state["plane"] — h(x, y) = c + gx*x + gy*y — sampled from the
+        # heightfield once per policy step outside the kernel (exact for a
+        # point in stance; linearization error bounded by the <=10 cm
+        # intra-policy-step travel for moving points). This is the
+        # TPU-native answer to in-kernel heightfield lookups: per-lane
+        # dynamic gathers don't vectorize on the VPU, an analytic local
+        # model does.
+        assert terrain_mode in ("plane", "local_plane"), terrain_mode
+        self.terrain_mode = terrain_mode
 
         m = model
         self.nb = m.num_bodies
@@ -231,6 +243,47 @@ class ScalarSubstep:
             pts_vel.append(vel)
 
             r = float(self.point_radius[p])
+            if self.terrain_mode == "local_plane":
+                # full normal-aware contact vs the per-point ground plane —
+                # mirrors contact.contact_forces with h = c + gx*x + gy*y
+                cpl, gx, gy = state["plane"][p]
+                inv = 1.0 / jnp.sqrt(gx * gx + gy * gy + 1.0)
+                n = [-gx * inv, -gy * inv, inv]
+                h = cpl + gx * pos[0] + gy * pos[1]
+                depth = jnp.minimum(h - (pos[2] - r), 0.5)
+                active = depth > 0.0
+                v_n = _dot(vel, n)
+                f_n = jnp.maximum(c.stiffness * depth - d_n * v_n, 0.0)
+                f_n = jnp.where(active, f_n, 0.0)
+                cone = mu * f_n
+                v_t = _sub(vel, _scale(n, v_n))
+
+                if c.tangent_stiffness > 0.0:
+                    kt = c.tangent_stiffness
+                    d_t = min(2.0 * math.sqrt(kt * c.point_mass), imp_cap)
+                    a = state["anchor"][p]
+                    err = [_clip(pos[k] - a[k], -0.1, 0.1) for k in range(3)]
+                    err = _sub(err, _scale(n, _dot(err, n)))
+                    f_t = [-kt * err[k] - d_t * v_t[k] for k in range(3)]
+                    mag = jnp.sqrt(_dot(f_t, f_t))
+                    sc = jnp.minimum(1.0, cone / jnp.maximum(mag, 1e-9))
+                    f_t = _scale(f_t, sc)
+                    new_a = [
+                        jnp.where(active, pos[k] + f_t[k] / kt, pos[k])
+                        for k in range(3)
+                    ]
+                    f_t = [jnp.where(active, f_t[k], 0.0) for k in range(3)]
+                    anchors.append(new_a)
+                else:
+                    speed_t = jnp.sqrt(_dot(v_t, v_t))
+                    k_t = jnp.minimum(
+                        imp_cap, cone / jnp.maximum(speed_t, c.slip_velocity)
+                    )
+                    f_t = _scale(v_t, -k_t)
+                    anchors.append(state["anchor"][p])
+                forces.append(_add(_scale(n, f_n), f_t))
+                continue
+
             depth = jnp.minimum(h0 - (pos[2] - r), 0.5)
             active = depth > 0.0
             f_n = jnp.maximum(c.stiffness * depth - d_n * vel[2], 0.0)
@@ -289,8 +342,12 @@ class ScalarSubstep:
 
     # -- dynamics -----------------------------------------------------------
 
-    def dynamics(self, state, quats, pos_rel, subspace, twists, ext_ang, ext_lin, tau):
-        """Solve M [a0; qdd] = rhs. Returns (base_acc [6], qdd [D])."""
+    def dynamics(self, state, quats, pos_rel, subspace, twists, ext_ang, ext_lin, tau,
+                 joint_damp=None):
+        """Solve M [a0; qdd] = rhs. Returns (base_acc [6], qdd [D]).
+
+        ``joint_damp``: per-dof damping lanes; dt*damp is added to the joint
+        diagonal (implicit drive damping, dynamics.forward_dynamics parity)."""
         nb, nd = self.nb, self.nd
 
         # per-body inertial triplets (m, h, i_org) at the base origin
@@ -405,6 +462,8 @@ class ScalarSubstep:
                     g = 0.0
                 if i == j:
                     g = g + float(self.armature[i])
+                    if joint_damp is not None:
+                        g = g + self.dt * joint_damp[i]
                 a[(6 + i, 6 + j)] = g
         for i in range(n):
             a[(i, i)] = a[(i, i)] + _RIDGE
@@ -437,11 +496,15 @@ class ScalarSubstep:
 
     # -- full substep -------------------------------------------------------
 
-    def substep(self, state: Dict, tau: Sequence):
+    def substep(self, state: Dict, tau: Sequence, joint_damp: Sequence = None):
         """One semi-implicit Euler substep. Returns
         (new_state, aux) with aux = dict(point_force [P][3], quats, pos_rel,
-        twists) from the pre-step kinematics (engine.PhysicsOutput parity)."""
+        twists) from the pre-step kinematics (engine.PhysicsOutput parity).
+
+        ``joint_damp``: per-dof actuator-damping lanes folded implicitly into
+        the mass-matrix diagonal (engine.physics_step joint_damping parity)."""
         dt = self.dt
+        damp = list(joint_damp) if joint_damp is not None else [0.0] * self.nd
         # joint position limits (engine.physics_step parity)
         if self.contact.joint_limit_violation > 0.0 and self.nd:
             tau = list(tau)
@@ -450,7 +513,9 @@ class ScalarSubstep:
                 over = jnp.maximum(state["q"][i] - float(self.dof_upper[i]), 0.0)
                 under = jnp.maximum(float(self.dof_lower[i]) - state["q"][i], 0.0)
                 viol = ((over > 0.0) | (under > 0.0)).astype(over.dtype)
-                tau[i] = tau[i] + k * (under - over) - (2.0 * k * dt) * state["qd"][i] * viol
+                lim_damp = (2.0 * k * dt) * viol
+                tau[i] = tau[i] + k * (under - over) - lim_damp * state["qd"][i]
+                damp[i] = damp[i] + lim_damp
 
         quats, pos_rel, subspace, twists = self.fk(state)
         pts_pos, forces, anchors = self.contact_forces(state, quats, pos_rel, twists)
@@ -465,7 +530,8 @@ class ScalarSubstep:
             ext_lin[b] = _add(ext_lin[b], forces[p])
 
         base_acc, qdd = self.dynamics(
-            state, quats, pos_rel, subspace, twists, ext_ang, ext_lin, tau
+            state, quats, pos_rel, subspace, twists, ext_ang, ext_lin, tau,
+            joint_damp=damp,
         )
 
         ang = [
@@ -523,6 +589,7 @@ class ScalarDecimation:
         feet_bodies: Sequence[int],
         feet_point_groups: Sequence[Sequence[int]],
         post_bodies: Sequence[int] = (),
+        damping_coeff: np.ndarray = None,
     ):
         self.sub = sub
         self.decimation = int(decimation)
@@ -538,6 +605,11 @@ class ScalarDecimation:
         # orientation-reward frames); emitting it from the kernel saves the
         # XLA-side FK recompute of legged_env.step
         self.post_bodies = tuple(int(b) for b in post_bodies)
+        # implicit-PD-damping coefficient per dof (legged_env
+        # _implicit_damping_const parity); scaled by motor strength in run()
+        self.damping_coeff = (
+            None if damping_coeff is None else np.asarray(damping_coeff, np.float64)
+        )
 
     def torques(self, state, use_act, motor_strength, last_qd=None):
         """legged_env._pd_torques in component form."""
@@ -582,7 +654,12 @@ class ScalarDecimation:
                 jnp.where(gate, last_actions[d], actions[d]) for d in range(self.sub.nd)
             ]
             taus = self.torques(state, use_act, motor_strength, last_qd)
-            state, aux = self.sub.substep(state, taus)
+            damp = (
+                None if self.damping_coeff is None else
+                [float(self.damping_coeff[d]) * motor_strength[d]
+                 for d in range(self.sub.nd)]
+            )
+            state, aux = self.sub.substep(state, taus, joint_damp=damp)
             for g in range(f):
                 pts = self.feet_point_groups[g]
                 fx = sum(aux["point_force"][p][0] for p in pts)
@@ -603,14 +680,25 @@ class ScalarDecimation:
             "tau": taus,
             "point_force": aux["point_force"],
         }
-        if self.post_bodies:
+        if self.post_bodies or self.sub.terrain_mode == "local_plane":
             # FK of the *final* (post-integration) state — exactly what
             # legged_env.step recomputes post-physics (legged_env.py:568)
             quats, pos_rel, _, _ = self.sub.fk(state)
             like = state["pos"][0]
             lane = lambda v: v + jnp.zeros_like(like) if isinstance(v, float) else v
-            acc["post_quat"] = [[lane(c) for c in quats[b]] for b in self.post_bodies]
-            acc["post_rel"] = [[lane(c) for c in pos_rel[b]] for b in self.post_bodies]
+            if self.post_bodies:
+                acc["post_quat"] = [[lane(c) for c in quats[b]] for b in self.post_bodies]
+                acc["post_rel"] = [[lane(c) for c in pos_rel[b]] for b in self.post_bodies]
+            if self.sub.terrain_mode == "local_plane":
+                # final-state contact-point world positions: where the env
+                # resamples the per-point ground planes for the next step
+                pp = []
+                for p in range(self.sub.np_):
+                    b = self.sub.point_body[p]
+                    off = [float(x) for x in self.sub.point_offset[p]]
+                    rel = _add(pos_rel[b], _qapply(quats[b], off))
+                    pp.append([lane(c) for c in _add(state["pos"], rel)])
+                acc["point_pos"] = pp
         return state, acc
 
 
