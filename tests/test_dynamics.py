@@ -326,3 +326,45 @@ def test_stick_friction_no_creep_on_slope():
     # (a small residual spin remains — proxy spheres pin the body point, so
     # they do not roll; exactly what feet need)
     assert abs(float(state2.base_lin_vel[0])) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Jacobian analysis channel (IsaacGym acquire_jacobian_tensor parity)
+# ---------------------------------------------------------------------------
+
+
+def test_jacobian_maps_genvel_to_body_twists(gr1t1_lower):
+    """J @ [w_base; v_base; qd] must reproduce every body's angular velocity
+    and origin linear velocity from forward kinematics."""
+    from wiki_grx_gym_tpu.sim.kinematics import jacobians
+
+    model = gr1t1_lower
+    base_quat, q, gen_v = random_kin_args(model, seed=7)
+    kin = forward_kinematics(model, base_quat, gen_v[:3], gen_v[3:6], q, gen_v[6:])
+    jac = jacobians(model, kin)
+    assert jac.shape == (model.num_bodies, 6, 6 + model.num_dof)
+    tw = jac @ gen_v
+    v_origin = kin.twist[:, 3:] + jnp.cross(kin.twist[:, :3], kin.pos_rel)
+    np.testing.assert_allclose(np.asarray(tw[:, :3]), np.asarray(kin.twist[:, :3]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tw[:, 3:]), np.asarray(v_origin), atol=1e-5)
+
+
+def test_jacobian_linear_block_matches_position_autodiff(gr1t1_lower):
+    """Independent check: with the base fixed, d pos_i / d q equals the
+    joint linear block of J (since v_i = J_lin qd and pos_i integrates v_i)."""
+    from wiki_grx_gym_tpu.sim.kinematics import jacobians
+
+    model = gr1t1_lower
+    base_quat, q, _ = random_kin_args(model, seed=9)
+    zero = jnp.zeros(3)
+
+    def positions(q):
+        kin = forward_kinematics(model, base_quat, zero, zero, q, jnp.zeros_like(q))
+        return kin.pos_rel
+
+    dpos = jax.jacfwd(positions)(q)  # (B, 3, D)
+    kin = forward_kinematics(model, base_quat, zero, zero, q, jnp.zeros(model.num_dof))
+    jac = jacobians(model, kin)
+    np.testing.assert_allclose(
+        np.asarray(jac[:, 3:, 6:]), np.asarray(dpos), rtol=1e-4, atol=1e-5
+    )

@@ -77,3 +77,49 @@ def forward_kinematics(
         subspace=jnp.stack(subspace),
         twist=jnp.stack(twists),
     )
+
+
+def _body_ancestor_mask(model: RobotModel):
+    """(B, D) static mask: m[i, d] = 1 iff dof ``d`` (joint ``d+1``) is an
+    ancestor-or-self joint of body ``i``. Python-built from the static tree,
+    constant-folded by XLA."""
+    import numpy as np
+
+    nb, nd = model.num_bodies, model.num_dof
+    m = np.zeros((nb, nd), dtype=np.float32)
+    for i in range(1, nb):
+        b = i
+        while b > 0:
+            m[i, b - 1] = 1.0
+            b = model.parent[b]
+    return jnp.asarray(m)
+
+
+def jacobians(model: RobotModel, kin: Kinematics) -> jax.Array:
+    """Per-body geometric Jacobian — the analysis channel the reference
+    exposes as ``gym.acquire_jacobian_tensor`` (IsaacGym
+    ``docs/_sources/programming/tensors.rst.txt:209-262``; unused by the GRx
+    training path, provided for API completeness).
+
+    Returns ``J`` of shape ``(B, 6, 6 + D)`` mapping generalized velocity
+    ``[base_ang_vel; base_lin_vel; qd]`` (world axes, matching
+    ``PhysicsState``) to each body's spatial velocity ``[w_i; v_i]`` with
+    ``v_i`` the linear velocity of body ``i``'s frame origin, world axes.
+    Off the hot path: recompute on demand from ``forward_kinematics``;
+    ``vmap`` over envs for a batched ``(N, B, 6, 6+D)`` tensor.
+    """
+    nb, nd = model.num_bodies, model.num_dof
+    dtype = kin.quat.dtype
+    mask = _body_ancestor_mask(model).astype(dtype)            # (B, D)
+    # joint columns at the shared base-origin reference: S_d masked per body
+    s = kin.subspace[1:]                                       # (D, 6)
+    j_joints = mask[:, None, :] * s.T[None, :, :]              # (B, 6, D)
+    # base columns: a base twist maps to every body's twist unchanged at the
+    # shared reference
+    j_base = jnp.broadcast_to(jnp.eye(6, dtype=dtype), (nb, 6, 6))
+    j = jnp.concatenate([j_base, j_joints], axis=-1)           # (B, 6, 6+D)
+    # shift the linear rows from the base-origin reference point to each
+    # body's own origin: v_i = v_ref + w x p_i, applied per column
+    w_cols = j[:, :3, :].transpose(0, 2, 1)                    # (B, C, 3)
+    shift = jnp.cross(w_cols, kin.pos_rel[:, None, :])         # (B, C, 3)
+    return j.at[:, 3:, :].add(shift.transpose(0, 2, 1))
