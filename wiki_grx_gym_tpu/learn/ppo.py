@@ -70,11 +70,16 @@ class PPO:
         individual (t, env) samples makes XLA gather each scalar field 4
         bytes at a time — measured at ~107 ms of a 192 ms training
         iteration at 4096 envs. Permuting *blocks* of ``shuffle_block``
-        consecutive timesteps of one env moves all fields as one packed
+        consecutive envs at one timestep moves all fields as one packed
         contiguous row (block x features, ~15 KB) per gather — HBM-speed —
-        while each minibatch still mixes hundreds of random (env, window)
-        chunks from the whole batch. 1 == the reference's exact per-sample
-        shuffle semantics."""
+        and, because a block is a slice of the scan's natural (T, N, feat)
+        storage, the pack is a pure reshape: no (N, T) transpose, and no
+        transposed layout propagating back into the rollout scan's output
+        buffers (an earlier time-window block scheme made XLA store every
+        rollout step strided — the rollout while-loop cost 69 ms vs 26 ms
+        with natural layouts). Same-timestep env blocks are also better
+        decorrelated than consecutive-timestep windows of one trajectory.
+        1 == the reference's exact per-sample shuffle semantics."""
         self.net = net
         self.cfg = alg_cfg
         self.extra_loss_fn = extra_loss_fn
@@ -205,30 +210,33 @@ class PPO:
     ) -> Tuple[PPOState, Dict[str, jax.Array]]:
         """Epochs x minibatches over the flattened (T*N) batch as one scan.
 
-        Layout: env-major groups ``(G, L, feat)`` with ``L = (N/G)*T`` and one
-        shared group-local permutation per epoch. On a dp mesh (G a multiple
-        of |dp|) the gather indexes the unsharded axis only, so XLA partitions
-        it without collectives; G=1 degenerates to the reference's global
-        flat shuffle.
+        Layout: the scan-native ``(T, G, N/G/B, B*F)`` with one shared
+        group-local permutation per epoch over the ``T * N/G/B`` block rows
+        of each group. On a dp mesh (G a multiple of |dp|) the gather
+        indexes unsharded axes only, so XLA partitions it without
+        collectives; G=1, B=1 degenerates to the reference's global flat
+        shuffle.
 
-        All nine fields are packed into one ``(G, L/B, B*F)`` array once per
-        update, and the shuffle permutes blocks of ``B = shuffle_block``
-        consecutive samples: one gather per minibatch, rows of ``B*F``
-        contiguous floats. See the class docstring for why (4-byte scalar
-        gathers were the single most expensive op of the whole iteration)."""
+        All nine fields are packed into one array by a single concatenate
+        (zero transposes: a block is ``B = shuffle_block`` consecutive envs
+        at one timestep, already contiguous in the (T, N, feat) rollout
+        storage), and each minibatch is one gather of ``B*F``-float rows.
+        See the class docstring for why (4-byte scalar gathers were the
+        single most expensive op of the whole iteration, and an (N, T)
+        transpose here forced strided stores inside the rollout loop)."""
         t, n = batch.rewards.shape
         g = self.perm_groups
         assert n % g == 0, f"num_envs {n} not divisible by perm_groups {g}"
-        l = (n // g) * t
+        npg = n // g
 
-        # block size: as configured, but (a) capped at T/4 so every
-        # trajectory is cut into >= 4 shuffled windows (time decorrelation),
-        # (b) a divisor of T so blocks never straddle env boundaries,
-        # (c) small enough that every minibatch gets >= 1 block per group
-        b = max(1, min(self.shuffle_block, t // 4))
-        while b > 1 and ((t % b) or (l // b) < self.num_mini_batches):
+        # block size: as configured, but (a) a divisor of the group's env
+        # count so blocks never straddle groups, (b) small enough that every
+        # minibatch gets >= 1 block
+        b = max(1, min(self.shuffle_block, npg))
+        while b > 1 and ((npg % b) or (t * (npg // b)) < self.num_mini_batches):
             b -= 1
-        n_blocks = l // b
+        nb_t = npg // b                  # blocks per group per timestep
+        n_blocks = t * nb_t              # block rows per group
         mb_blocks = n_blocks // self.num_mini_batches
         used = mb_blocks * self.num_mini_batches
 
@@ -254,7 +262,7 @@ class PPO:
         squeeze = {"log_prob", "values", "returns", "advantages"}  # (T, N) scalars
 
         packed = jnp.concatenate([x for _, x in fields], axis=-1)      # (T, N, F)
-        packed = jnp.swapaxes(packed, 0, 1).reshape(g, n_blocks, b * f_tot)
+        packed = packed.reshape(t, g, nb_t, b * f_tot)
 
         # one fresh permutation per epoch (base_storage.py:169 draws once per
         # update; per-epoch draws are strictly more shuffled)
@@ -264,8 +272,9 @@ class PPO:
         ).reshape(self.num_learning_epochs * self.num_mini_batches, mb_blocks)
 
         def get_mb(idx):
-            rows = packed[:, idx]                                       # (G, MB, B*F)
-            flat = rows.reshape(g * mb_blocks * b, f_tot)
+            ti, bi = idx // nb_t, idx % nb_t
+            rows = packed[ti, :, bi]                                    # (MB, G, B*F)
+            flat = jnp.swapaxes(rows, 0, 1).reshape(g * mb_blocks * b, f_tot)
             mb = {}
             for (name, _), o, s in zip(fields, offs, sizes):
                 v = jax.lax.slice_in_dim(flat, o, o + s, axis=1)
