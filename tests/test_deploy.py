@@ -55,3 +55,39 @@ def test_native_control_rate(native_policy):
         native(obs)
     per_call = (time.perf_counter() - t0) / n
     assert per_call < 0.02 / 10, f"too slow for 50 Hz control: {per_call * 1e3:.2f} ms"
+
+
+def test_native_lstm_matches_jax(tmp_path):
+    """Version-2 (LSTM) export: the native streaming forward must replay the
+    JAX recurrent actor step-for-step, and reset() must zero the memory."""
+    import jax
+    import jax.numpy as jnp
+
+    from wiki_grx_gym_tpu.learn.recurrent import ActorCriticRecurrent
+    from wiki_grx_gym_tpu.deploy.runtime import NativePolicy, export_policy_bin
+
+    _, train_cfg = task_registry.get_cfgs("GR1T1_lstm")
+    train_cfg.policy.rnn_hidden_size = 64
+    train_cfg.policy.rnn_num_layers = 2
+    net = ActorCriticRecurrent(39, 168, 10, train_cfg.policy)
+    params = net.init(jax.random.PRNGKey(11))
+
+    path = str(tmp_path / "policy_lstm.grxpolicy")
+    export_policy_bin(params, path)
+    native = NativePolicy(path)
+    assert native.num_lstm_layers == 2
+    assert native.input_dim == 39
+    assert native.output_dim == 10
+
+    obs_seq = np.random.RandomState(3).randn(20, 39).astype(np.float32)
+    hidden = net.initial_hidden(1)
+    for t in range(20):
+        want, hidden = net.act_inference_rnn(params, jnp.asarray(obs_seq[t:t + 1]), hidden)
+        got = native(obs_seq[t])
+        np.testing.assert_allclose(got, np.asarray(want)[0], rtol=1e-4, atol=1e-5)
+
+    # reset zeroes the memory: replay from the start must match again
+    native.reset()
+    hidden = net.initial_hidden(1)
+    want, _ = net.act_inference_rnn(params, jnp.asarray(obs_seq[:1]), hidden)
+    np.testing.assert_allclose(native(obs_seq[0]), np.asarray(want)[0], rtol=1e-4, atol=1e-5)

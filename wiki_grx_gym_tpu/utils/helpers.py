@@ -52,6 +52,12 @@ def export_policy_npz(net, params, path: str) -> None:
     for i, (w, b) in enumerate(params.actor):
         blob[f"actor_w{i}"] = np.asarray(w)
         blob[f"actor_b{i}"] = np.asarray(b)
+    for i, cell in enumerate(getattr(params, "memory_a", None) or ()):
+        # recurrent actors: torch.nn.LSTM tensor layout (gate order i,f,g,o)
+        blob[f"lstm{i}_w_ih"] = np.asarray(cell.w_ih)
+        blob[f"lstm{i}_w_hh"] = np.asarray(cell.w_hh)
+        blob[f"lstm{i}_b_ih"] = np.asarray(cell.b_ih)
+        blob[f"lstm{i}_b_hh"] = np.asarray(cell.b_hh)
     blob["std"] = np.asarray(params.std)
     blob["activation"] = np.asarray("elu")
     np.savez(path, **blob)
