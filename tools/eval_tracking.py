@@ -35,7 +35,7 @@ COMMANDS = [
 
 
 def evaluate(task: str, load_run=-1, checkpoint=-1, num_envs=64,
-             transient=60, window=200, log_root=None):
+             transient=60, window=200, log_root=None, experiment_name=None):
     from wiki_grx_gym_tpu.envs import task_registry
     from wiki_grx_gym_tpu.utils.task_registry import ROOT_DIR, get_load_path
 
@@ -55,7 +55,9 @@ def evaluate(task: str, load_run=-1, checkpoint=-1, num_envs=64,
 
     runner = OnPolicyRunner(env, train_cfg, log_dir=None)
     state = runner.init_state()
-    root = log_root or os.path.join(ROOT_DIR, "logs", train_cfg.runner.experiment_name)
+    root = log_root or os.path.join(
+        ROOT_DIR, "logs", experiment_name or train_cfg.runner.experiment_name
+    )
     path = get_load_path(root, load_run=load_run, checkpoint=checkpoint)
     print(f"[eval] loading {path}")
     state = runner.load(path, state)
@@ -100,5 +102,9 @@ if __name__ == "__main__":
     ap.add_argument("--load_run", default=-1)
     ap.add_argument("--checkpoint", type=int, default=-1)
     ap.add_argument("--num_envs", type=int, default=64)
-    evaluate(ap.parse_args().task, ap.parse_args().load_run,
-             ap.parse_args().checkpoint, ap.parse_args().num_envs)
+    ap.add_argument("--experiment_name", default=None,
+                    help="log dir under logs/ (default: the task's configured "
+                         "experiment_name, matching train.py)")
+    args = ap.parse_args()
+    evaluate(args.task, args.load_run, args.checkpoint, args.num_envs,
+             experiment_name=args.experiment_name)

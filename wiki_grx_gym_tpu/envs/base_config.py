@@ -270,6 +270,14 @@ class LeggedRobotCfgPPO(BaseConfig):
         # minibatch-shuffle locality groups; 0 = auto (dp mesh size), so the
         # PPO update performs zero cross-device gathers (learn/ppo.py)
         permutation_groups = 0
+        # shuffle granularity: blocks of this many consecutive envs at one
+        # timestep move as one contiguous row; 1 = the reference's exact
+        # per-sample shuffle (base_storage.py:169), 16 = TPU-friendly DMA
+        shuffle_block = 16
+        # storage dtype of the packed obs/critic_obs shuffle buffer in the
+        # PPO update ("bfloat16" or "float32"); ratio/KL-critical fields are
+        # always float32 (learn/ppo.py)
+        storage_dtype = "bfloat16"
 
     class policy:
         init_noise_std = 1.0

@@ -771,19 +771,25 @@ class LeggedEnv:
         )
 
         # ---- rewards (legged_robot.py:355-375) ----
-        rew_buf = jnp.zeros(n)
-        episode_sums = state.episode_sums
-        for i, name in enumerate(self.reward_names):
-            r = REWARDS[name](self, ctx) * self.reward_scales[name]
-            r = jnp.where(bad, 0.0, r)  # NaN-env rewards must not propagate
-            rew_buf = rew_buf + r
-            episode_sums = episode_sums.at[:, i].add(r)
+        # All terms stacked to (N, R) and accumulated with ONE add: the
+        # per-term `.at[:, i].add` loop was R separate dynamic-update-slice
+        # fusions per policy step (measured on the v5e rollout profile).
+        terms = [
+            jnp.where(bad, 0.0, REWARDS[name](self, ctx) * self.reward_scales[name])
+            for name in self.reward_names
+        ]  # NaN-env rewards must not propagate
+        if self.termination_scale:
+            terms.append(REWARDS["termination"](self, ctx) * self.termination_scale)
+        if terms:
+            term_stack = jnp.stack(terms, axis=1)  # (N, R) == all_reward_names
+        else:
+            term_stack = jnp.zeros((n, 0))
+        episode_sums = state.episode_sums + term_stack
+        rew_buf = jnp.sum(term_stack[:, : len(self.reward_names)], axis=1)
         if c.rewards.only_positive_rewards:
             rew_buf = jnp.clip(rew_buf, a_min=0.0)
         if self.termination_scale:
-            r = REWARDS["termination"](self, ctx) * self.termination_scale
-            rew_buf = rew_buf + r
-            episode_sums = episode_sums.at[:, len(self.reward_names)].add(r)
+            rew_buf = rew_buf + term_stack[:, len(self.reward_names)]
 
         # ---- episode logging before the sums are cleared ----
         done_f = reset_buf.astype(jnp.float32)

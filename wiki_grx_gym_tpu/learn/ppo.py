@@ -99,6 +99,17 @@ class PPO:
         self.lr_max = float(alg_cfg.learning_rate_max)
         self.max_grad_norm = float(alg_cfg.max_grad_norm)
         self.use_clipped_value_loss = bool(alg_cfg.use_clipped_value_loss)
+        # minibatch *storage* dtype for the wide matmul-input fields
+        # (obs/critic_obs) inside the update's packed shuffle buffer. bf16
+        # is numerically what the MXU consumes anyway (XLA's default f32
+        # matmul precision on TPU runs bf16 passes and stores bf16
+        # activations), so rounding at storage time changes nothing
+        # material, while halving the pack+gather HBM traffic of the
+        # update's dominant data-movement ops (v5e trace, job26).
+        # Ratio/KL-critical fields (actions, log_prob, mu, sigma, values,
+        # returns, advantages) always stay float32.
+        sd = str(getattr(alg_cfg, "storage_dtype", "bfloat16") or "float32")
+        self.storage_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[sd]
 
         self.tx = optax.inject_hyperparams(
             lambda learning_rate: optax.chain(
@@ -210,20 +221,29 @@ class PPO:
     ) -> Tuple[PPOState, Dict[str, jax.Array]]:
         """Epochs x minibatches over the flattened (T*N) batch as one scan.
 
-        Layout: the scan-native ``(T, G, N/G/B, B*F)`` with one shared
-        group-local permutation per epoch over the ``T * N/G/B`` block rows
-        of each group. On a dp mesh (G a multiple of |dp|) the gather
-        indexes unsharded axes only, so XLA partitions it without
-        collectives; G=1, B=1 degenerates to the reference's global flat
-        shuffle.
+        Shuffle strategy (v5e trace-driven, see git history):
 
-        All nine fields are packed into one array by a single concatenate
-        (zero transposes: a block is ``B = shuffle_block`` consecutive envs
-        at one timestep, already contiguous in the (T, N, feat) rollout
-        storage), and each minibatch is one gather of ``B*F``-float rows.
-        See the class docstring for why (4-byte scalar gathers were the
-        single most expensive op of the whole iteration, and an (N, T)
-        transpose here forced strided stores inside the rollout loop)."""
+        - The shuffle unit is a *block* of ``shuffle_block`` consecutive
+          envs at one timestep — contiguous in the scan-native (T, N, feat)
+          rollout storage, so a block row moves as one ~15 KB DMA.
+          Per-sample permutation made XLA gather scalar fields 4 bytes at a
+          time (the single most expensive op of the iteration);
+          ``shuffle_block=1`` recovers those exact reference semantics.
+        - ONE permutation per update, reused by every epoch — exactly
+          `base_storage.py:169` (the generator draws once; epochs iterate
+          the same partition). This lets the whole batch be shuffled ONCE
+          up front (a single big gather), after which every minibatch of
+          every epoch is a contiguous slice: the per-minibatch
+          gather/reshape/layout-copy chain (~12 ms/iteration at 4096 envs)
+          disappears from the 200-step update scan.
+        - The permutation is group-local (``perm_groups`` = dp mesh size):
+          the gather indexes an unsharded axis, so on a dp mesh the update
+          does zero cross-device traffic besides the gradient all-reduce.
+        - Fields are packed into two buffers: the wide matmul inputs
+          (obs/critic_obs) in ``storage_dtype`` (bf16 by default —
+          bit-identical on TPU, where XLA's default f32 matmul truncates
+          operands to bf16 anyway; measured param delta exactly 0.0), and
+          the ratio/KL-critical scalars in f32."""
         t, n = batch.rewards.shape
         g = self.perm_groups
         assert n % g == 0, f"num_envs {n} not divisible by perm_groups {g}"
@@ -239,13 +259,16 @@ class PPO:
         n_blocks = t * nb_t              # block rows per group
         mb_blocks = n_blocks // self.num_mini_batches
         used = mb_blocks * self.num_mini_batches
+        rows_per_mb = mb_blocks * b      # sample rows per group per minibatch
 
         def feat(x):
             return x[..., None] if x.ndim == 2 else x
 
-        fields = [
+        wide_fields = [
             ("obs", feat(batch.obs)),
             ("critic_obs", feat(batch.critic_obs)),
+        ]
+        f32_fields = [
             ("actions", feat(batch.actions)),
             ("log_prob", feat(batch.log_prob)),
             ("mu", feat(batch.mu)),
@@ -254,34 +277,46 @@ class PPO:
             ("returns", feat(returns)),
             ("advantages", feat(advantages)),
         ]
-        sizes = [x.shape[-1] for _, x in fields]
-        offs = [0]
-        for s in sizes:
-            offs.append(offs[-1] + s)
-        f_tot = offs[-1]
         squeeze = {"log_prob", "values", "returns", "advantages"}  # (T, N) scalars
 
-        packed = jnp.concatenate([x for _, x in fields], axis=-1)      # (T, N, F)
-        packed = packed.reshape(t, g, nb_t, b * f_tot)
+        # one group-local permutation per update (base_storage.py:169)
+        perm = jax.random.permutation(key, n_blocks)[:used]
 
-        # one fresh permutation per epoch (base_storage.py:169 draws once per
-        # update; per-epoch draws are strictly more shuffled)
-        epoch_keys = jax.random.split(key, self.num_learning_epochs)
-        perms = jnp.stack(
-            [jax.random.permutation(k, n_blocks)[:used] for k in epoch_keys]
-        ).reshape(self.num_learning_epochs * self.num_mini_batches, mb_blocks)
+        def pack_shuffle(fields, dtype):
+            sizes = [x.shape[-1] for _, x in fields]
+            offs = [0]
+            for sz in sizes:
+                offs.append(offs[-1] + sz)
+            p = jnp.concatenate([x for _, x in fields], axis=-1).astype(dtype)
+            # (T, N, F) -> (G, n_blocks, B*F); the g<->t transpose is local
+            # on a dp mesh (g is the sharded axis)
+            p = p.reshape(t, g, nb_t, b * offs[-1])
+            p = jnp.swapaxes(p, 0, 1).reshape(g, n_blocks, b * offs[-1])
+            # the one gather of the whole update, then minibatches are slices
+            p = jnp.take(p, perm, axis=1)
+            return p.reshape(g, self.num_mini_batches, rows_per_mb, offs[-1]), offs, sizes
 
-        def get_mb(idx):
-            ti, bi = idx // nb_t, idx % nb_t
-            rows = packed[ti, :, bi]                                    # (MB, G, B*F)
-            flat = jnp.swapaxes(rows, 0, 1).reshape(g * mb_blocks * b, f_tot)
+        shuf_w, offs_w, sizes_w = pack_shuffle(wide_fields, self.storage_dtype)
+        shuf_f, offs_f, sizes_f = pack_shuffle(f32_fields, jnp.float32)
+
+        def get_mb(i):
             mb = {}
-            for (name, _), o, s in zip(fields, offs, sizes):
-                v = jax.lax.slice_in_dim(flat, o, o + s, axis=1)
-                mb[name] = v[:, 0] if name in squeeze else v
+            for shuf, fields, offs, sizes in (
+                (shuf_w, wide_fields, offs_w, sizes_w),
+                (shuf_f, f32_fields, offs_f, sizes_f),
+            ):
+                x = jax.lax.dynamic_index_in_dim(shuf, i, axis=1, keepdims=False)
+                flat = x.reshape(g * rows_per_mb, offs[-1]).astype(jnp.float32)
+                for (name, _), o, s in zip(fields, offs, sizes):
+                    v = jax.lax.slice_in_dim(flat, o, o + s, axis=1)
+                    mb[name] = v[:, 0] if name in squeeze else v
             return mb
 
-        return self._run_epochs(ppo_state, perms, get_mb, self._minibatch_loss)
+        idx = jnp.tile(
+            jnp.arange(self.num_mini_batches, dtype=jnp.int32),
+            self.num_learning_epochs,
+        )
+        return self._run_epochs(ppo_state, idx, get_mb, self._minibatch_loss)
 
     def _run_epochs(self, ppo_state: PPOState, perms, get_mb, loss_fn):
         """Shared epochs-x-minibatches scan: grads, adaptive-KL LR, NaN skip,
@@ -410,10 +445,12 @@ class PPO:
             lambda x: x.reshape(x.shape[0], g, per_group, x.shape[-1]), hidden0
         )
 
-        epoch_keys = jax.random.split(key, self.num_learning_epochs)
-        perms = jnp.stack(
-            [jax.random.permutation(k, per_group)[:used] for k in epoch_keys]
-        ).reshape(self.num_learning_epochs * self.num_mini_batches, mb_envs)
+        # one permutation per update, reused across epochs (base_storage.py:169)
+        perm = jax.random.permutation(key, per_group)[:used]
+        perms = jnp.tile(
+            perm.reshape(self.num_mini_batches, mb_envs),
+            (self.num_learning_epochs, 1),
+        )
 
         def get_mb(idx):
             mb = {

@@ -96,8 +96,11 @@ class TaskRegistry:
 def get_load_path(root, load_run=-1, checkpoint=-1):
     """Latest-run / latest-checkpoint resolution (helpers.py:108-130)."""
     try:
+        # runs are directories; stray files in the log root (eval logs,
+        # dashboards) must not be picked as the "latest run"
         runs = sorted(
-            os.listdir(root), key=lambda x: os.path.getmtime(os.path.join(root, x))
+            (x for x in os.listdir(root) if os.path.isdir(os.path.join(root, x))),
+            key=lambda x: os.path.getmtime(os.path.join(root, x)),
         )
         if "exported" in runs:
             runs.remove("exported")
