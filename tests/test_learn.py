@@ -109,6 +109,60 @@ def test_update_improves_surrogate_objective():
     assert float(new_state.learning_rate) == pytest.approx(5e-3)
 
 
+def test_one_shot_shuffle_partitions_batch_exactly():
+    """The packed block-shuffle must visit every (t, env) sample exactly
+    once per epoch, reuse the same partition across epochs (the reference
+    draws one permutation per update, base_storage.py:169), keep the
+    shuffle group-local, and keep shuffle blocks of consecutive envs at one
+    timestep together."""
+    _, train_cfg = small_cfgs(mb=4, epochs=2)
+    train_cfg.algorithm.shuffle_block = 2
+    train_cfg.algorithm.permutation_groups = 2
+    net = ActorCritic(2, 2, 2, train_cfg.policy)
+    alg = PPO(net, train_cfg.algorithm, perm_groups=2, shuffle_block=2)
+
+    t, n = 4, 8
+    # obs channel 0 = timestep, channel 1 = env index (small ints: exact in
+    # the bf16 storage dtype)
+    tt, nn = jnp.meshgrid(jnp.arange(t), jnp.arange(n), indexing="ij")
+    obs = jnp.stack([tt, nn], axis=-1).astype(jnp.float32)
+    z2, zt = jnp.zeros((t, n, 2)), jnp.zeros((t, n))
+    batch = Transition(
+        obs, obs, z2, zt, jnp.zeros((t, n), bool), zt, zt, z2, jnp.ones((t, n, 2))
+    )
+
+    captured = []
+
+    def fake_run_epochs(ppo_state, idx, get_mb, loss_fn):
+        for i in np.asarray(idx):
+            captured.append(get_mb(jnp.asarray(i)))
+        return ppo_state, {}
+
+    alg._run_epochs = fake_run_epochs
+    state = alg.init(net.init(jax.random.PRNGKey(0)))
+    alg.update(state, batch, zt, zt, jax.random.PRNGKey(1))
+
+    assert len(captured) == 2 * 4  # epochs x minibatches
+
+    def ids(mb):
+        return {(int(r[0]), int(r[1])) for r in np.asarray(mb["obs"], np.float64)}
+
+    ep1, ep2 = [ids(m) for m in captured[:4]], [ids(m) for m in captured[4:]]
+    # exact partition: every sample exactly once per epoch
+    assert sum(len(s) for s in ep1) == t * n
+    assert set().union(*ep1) == {(a, b) for a in range(t) for b in range(n)}
+    # one permutation per update: epoch 2 repeats epoch 1's partition
+    assert ep1 == ep2
+    for m in captured[:4]:
+        envs = np.asarray(m["obs"])[:, 1]
+        # group-local shuffle: equal rows from each env group
+        assert (envs < 4).sum() == (envs >= 4).sum()
+    for rows in ep1:
+        # block integrity: consecutive env pairs at one timestep stay together
+        for a, b in rows:
+            assert (a, b + 1 if b % 2 == 0 else b - 1) in rows
+
+
 def test_adaptive_lr_rules():
     _, train_cfg = small_cfgs()
     _, alg = make_alg(train_cfg)
