@@ -337,3 +337,7 @@ def test_full_body_tasks_have_active_rewards():
         }
         assert len(scales) >= 20, (task, sorted(scales))
         assert "cmd_diff_lin_vel_x" in scales
+        # the validated lower-limb KL target: at the reference full config's
+        # 0.01 the adaptive-LR rule pins the LR at its 1e-5 floor for the
+        # whole run and the 32-DOF policy never learns (measured, r2 job03)
+        assert train_cfg.algorithm.desired_kl == 0.03, task

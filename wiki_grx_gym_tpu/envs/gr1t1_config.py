@@ -415,3 +415,11 @@ class GR1T1FullCfg(GR1T1Cfg):
 class GR1T1FullCfgPPO(GR1T1CfgPPO):
     class runner(GR1T1CfgPPO.runner):
         run_name = "gr1t1_full"
+
+    class algorithm(GR1T1CfgPPO.algorithm):
+        # adopt the *validated* lower-limb recipe (desired_kl 0.03,
+        # gr1t1_lower_limb_config.py:113) rather than the reference full
+        # config's 0.01: at 0.01 the adaptive-KL rule pins the LR at its
+        # 1e-5 floor for the whole run (measured KL ~0.015 never falls
+        # below desired/2) and the 32-DOF policy cannot learn to walk
+        desired_kl = 0.03

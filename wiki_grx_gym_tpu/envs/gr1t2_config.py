@@ -46,3 +46,7 @@ class GR1T2FullCfg(GR1T2Cfg):
 class GR1T2FullCfgPPO(GR1T2CfgPPO):
     class runner(GR1T2CfgPPO.runner):
         run_name = "gr1t2_full"
+
+    class algorithm(GR1T2CfgPPO.algorithm):
+        # validated lower-limb recipe, see GR1T1FullCfgPPO.algorithm
+        desired_kl = 0.03
