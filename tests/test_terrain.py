@@ -113,6 +113,34 @@ def test_composer_lookups(small_terrain_cfg):
     assert np.isfinite(oz)
 
 
+def test_tile_lookups_match_global(small_terrain_cfg):
+    """The MXU tile path (extract_tiles + separable one-hot matmuls) must
+    reproduce the scattered-gather lookups exactly for queries inside the
+    tile (+-2.4 m around the tile center; the robot's reach is <= 1.3 m)."""
+    terrain = Terrain(small_terrain_cfg.terrain, rng=np.random.RandomState(0))
+    key = jax.random.PRNGKey(3)
+    n, q = 16, 37
+    centers = jnp.stack([
+        jax.random.uniform(key, (n,), minval=1.0, maxval=23.0),
+        jax.random.uniform(jax.random.fold_in(key, 1), (n,), minval=1.0, maxval=31.0),
+    ], axis=1)
+    off = jax.random.uniform(jax.random.fold_in(key, 2), (n, q, 2), minval=-1.3, maxval=1.3)
+    x = centers[:, None, 0] + off[..., 0]
+    y = centers[:, None, 1] + off[..., 1]
+
+    tiles = terrain.extract_tiles(centers)
+    np.testing.assert_allclose(
+        np.asarray(terrain.tile_height_fn(*tiles, x, y)),
+        np.asarray(terrain.height_fn(x, y)),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(terrain.tile_measured(*tiles, x, y)),
+        np.asarray(terrain.measured_heights(x, y)),
+        atol=1e-5,
+    )
+
+
 def test_rough_terrain_env_steps(small_terrain_cfg):
     """GR1T1 on curriculum heightfield: env builds, steps, measures heights."""
     cfg = small_terrain_cfg

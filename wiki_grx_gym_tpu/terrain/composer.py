@@ -179,6 +179,85 @@ class Terrain:
         h = jnp.minimum(jnp.minimum(hs[px, py], hs[px + 1, py]), hs[px, py + 1])
         return h * self._vs
 
+    # ------------------------------------------------------------------
+    # tile-based lookups — the TPU-fast path
+    # ------------------------------------------------------------------
+    # Scattered scalar gathers over the global heightfield dominated
+    # terrain-mode training (96k vs 3.19M env-steps/s on plane, r2 job05;
+    # one policy step's worth of lookups measured 45.4 ms at 4096 envs,
+    # r2 job09). The same queries via (a) per-env tile extraction — a
+    # vmapped dynamic_slice XLA lowers to contiguous block DMAs — and
+    # (b) separable one-hot matmul interpolation on the MXU run ~7x
+    # faster (6.5 ms, job09). Results are exact (Precision.HIGHEST keeps
+    # f32) while the queries stay inside the tile: +-2.4 m around the
+    # tile center at 0.1 m resolution, vs a <=1.3 m robot reach.
+
+    TILE = 48
+
+    def extract_tiles(self, center_xy: jax.Array):
+        """(N, 2) world xy -> ((N, T, T) tiles, (N,) sx, (N,) sy)."""
+        hs = self.height_samples
+        t = self.TILE
+        px = (center_xy[:, 0] + self._border_m) / self._hs
+        py = (center_xy[:, 1] + self._border_m) / self._hs
+        sx = jnp.clip(jnp.round(px).astype(jnp.int32) - t // 2, 0, hs.shape[0] - t)
+        sy = jnp.clip(jnp.round(py).astype(jnp.int32) - t // 2, 0, hs.shape[1] - t)
+        tiles = jax.vmap(
+            lambda a, b: jax.lax.dynamic_slice(hs, (a, b), (t, t))
+        )(sx, sy)
+        return tiles, sx, sy
+
+    @staticmethod
+    def _sep_lookup(tiles, wx, wy):
+        """h[n, q] = wx[n, q, :] @ tiles[n] @ wy[n, q, :] on the MXU."""
+        return jnp.einsum(
+            "nqt,ntu,nqu->nq", wx, tiles, wy, precision=jax.lax.Precision.HIGHEST
+        )
+
+    def tile_height_fn(self, tiles, sx, sy, x: jax.Array, y: jax.Array):
+        """Bilinear sample, == ``height_fn`` for queries inside the tile.
+
+        ``x``/``y`` are (N, Q) world coordinates; the floor indices reduce
+        to the global ones minus the integer tile starts, so fx/fy and the
+        four corner values match ``height_fn`` bit-for-bit in-tile."""
+        t = tiles.shape[-1]
+        hs = self.height_samples
+        px = jnp.clip((x + self._border_m) / self._hs, 0.0, hs.shape[0] - 2.0)
+        py = jnp.clip((y + self._border_m) / self._hs, 0.0, hs.shape[1] - 2.0)
+        lx = jnp.clip(px - sx[:, None].astype(px.dtype), 0.0, t - 2.0)
+        ly = jnp.clip(py - sy[:, None].astype(py.dtype), 0.0, t - 2.0)
+        x0 = jnp.floor(lx)
+        y0 = jnp.floor(ly)
+        fx = (lx - x0)[..., None]
+        fy = (ly - y0)[..., None]
+        ix = jnp.arange(t, dtype=px.dtype)
+        wx = (ix == x0[..., None]) * (1.0 - fx) + (ix == x0[..., None] + 1.0) * fx
+        wy = (ix == y0[..., None]) * (1.0 - fy) + (ix == y0[..., None] + 1.0) * fy
+        return self._sep_lookup(tiles, wx, wy) * self._vs
+
+    def tile_measured(self, tiles, sx, sy, x: jax.Array, y: jax.Array):
+        """3-tap min sample, == ``measured_heights`` in-tile. The three
+        exact taps are stacked along Q so the whole lookup is ONE einsum."""
+        t = tiles.shape[-1]
+        hs = self.height_samples
+        px = jnp.clip(
+            ((x + self._border_m) / self._hs).astype(jnp.int32), 0, hs.shape[0] - 2
+        )
+        py = jnp.clip(
+            ((y + self._border_m) / self._hs).astype(jnp.int32), 0, hs.shape[1] - 2
+        )
+        lx = jnp.clip(px - sx[:, None], 0, t - 2)
+        ly = jnp.clip(py - sy[:, None], 0, t - 2)
+        ix = jnp.arange(t, dtype=jnp.int32)
+
+        def oh(idx):
+            return (ix == idx[..., None]).astype(tiles.dtype)
+
+        wx = jnp.concatenate([oh(lx), oh(lx + 1), oh(lx)], axis=1)      # (N, 3Q, T)
+        wy = jnp.concatenate([oh(ly), oh(ly), oh(ly + 1)], axis=1)
+        h3 = self._sep_lookup(tiles, wx, wy).reshape(x.shape[0], 3, -1)
+        return jnp.min(h3, axis=1) * self._vs
+
     def sample_origins(self, key: jax.Array, num_envs: int, cfg):
         """Initial terrain level/type assignment (legged_robot.py:1167-1183)."""
         max_init = cfg.max_init_terrain_level if cfg.curriculum else cfg.num_rows - 1
