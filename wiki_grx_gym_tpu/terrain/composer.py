@@ -193,18 +193,57 @@ class Terrain:
     # tile center at 0.1 m resolution, vs a <=1.3 m robot reach.
 
     TILE = 48
+    CHUNK = 128  # lane width of one gathered row segment
+
+    @property
+    def _hs_chunks(self):
+        """Heightfield reshaped to (H * W/128, 128) lane chunks for tile
+        extraction. Columns are edge-padded to a CHUNK multiple plus one
+        spare chunk so any TILE-wide window's two covering chunks exist."""
+        if getattr(self, "_hs_chunks_cache", None) is None:
+            # built in numpy so the cached array is concrete even when the
+            # first extract_tiles call happens inside a jit trace
+            hs = np.asarray(self.height_field_raw, np.float32)
+            w = hs.shape[1]
+            wp = ((w + self.CHUNK - 1) // self.CHUNK + 1) * self.CHUNK
+            pad = np.pad(hs, ((0, 0), (0, wp - w)), mode="edge")
+            # cached as numpy: anything jnp-created inside a jit trace is a
+            # tracer and must not be cached across traces
+            self._hs_chunks_cache = (
+                pad.reshape(hs.shape[0] * (wp // self.CHUNK), self.CHUNK),
+                wp // self.CHUNK,
+            )
+        return self._hs_chunks_cache
 
     def extract_tiles(self, center_xy: jax.Array):
-        """(N, 2) world xy -> ((N, T, T) tiles, (N,) sx, (N,) sy)."""
+        """(N, 2) world xy -> ((N, T, T) tiles, (N,) sx, (N,) sy).
+
+        vmapped ``dynamic_slice`` lowered to scattered per-element gathers
+        (6.3 ms of the 13.9 ms terrain policy step at 4096 envs, r2 job24).
+        Instead: gather the T x 2 CHUNK-aligned row segments covering each
+        window — each a contiguous 512 B row of ``_hs_chunks`` — then
+        compact the T wanted columns out of the 2*CHUNK lanes with a
+        per-env one-hot einsum on the MXU. Exact (one-hot selection of
+        exact cell values; f32 accumulate)."""
         hs = self.height_samples
-        t = self.TILE
+        t, ck = self.TILE, self.CHUNK
+        n = center_xy.shape[0]
         px = (center_xy[:, 0] + self._border_m) / self._hs
         py = (center_xy[:, 1] + self._border_m) / self._hs
         sx = jnp.clip(jnp.round(px).astype(jnp.int32) - t // 2, 0, hs.shape[0] - t)
         sy = jnp.clip(jnp.round(py).astype(jnp.int32) - t // 2, 0, hs.shape[1] - t)
-        tiles = jax.vmap(
-            lambda a, b: jax.lax.dynamic_slice(hs, (a, b), (t, t))
-        )(sx, sy)
+        chunks, nc = self._hs_chunks
+        cy = sy // ck
+        rows = sx[:, None] + jnp.arange(t, dtype=jnp.int32)             # (N, T)
+        idx = rows[:, :, None] * nc + cy[:, None, None] + jnp.arange(2)[None, None, :]
+        wide = jnp.take(chunks, idx.reshape(-1), axis=0).reshape(n, t, 2 * ck)
+        # columns [sy - cy*CHUNK, +T) out of the 2*CHUNK lanes
+        off = (sy - cy * ck)[:, None, None]                             # (N, 1, 1)
+        lane = jnp.arange(2 * ck, dtype=jnp.int32)[None, None, :]
+        sel = (lane == off + jnp.arange(t, dtype=jnp.int32)[None, :, None]).astype(wide.dtype)
+        tiles = jnp.einsum(
+            "nku,ntu->ntk", sel, wide, precision=jax.lax.Precision.HIGHEST
+        )
         return tiles, sx, sy
 
     @staticmethod
