@@ -116,7 +116,7 @@ def test_composer_lookups(small_terrain_cfg):
 def test_tile_lookups_match_global(small_terrain_cfg):
     """The MXU tile path (extract_tiles + separable one-hot matmuls) must
     reproduce the scattered-gather lookups exactly for queries inside the
-    tile (+-2.4 m around the tile center; the robot's reach is <= 1.3 m)."""
+    tile (+-1.6 m around the tile center; the robot's reach is <= 1.35 m)."""
     terrain = Terrain(small_terrain_cfg.terrain, rng=np.random.RandomState(0))
     key = jax.random.PRNGKey(3)
     n, q = 16, 37
@@ -136,6 +136,14 @@ def test_tile_lookups_match_global(small_terrain_cfg):
     )
     np.testing.assert_allclose(
         np.asarray(terrain.tile_measured(*tiles, x, y)),
+        np.asarray(terrain.measured_heights(x, y)),
+        atol=1e-5,
+    )
+    # single-tap path on the precomputed 3-tap-min field (the env's
+    # observation path) must match the reference formula too
+    tiles_min = terrain.extract_tiles(centers, min_tiles=True)
+    np.testing.assert_allclose(
+        np.asarray(terrain.tile_measured_1tap(*tiles_min, x, y)),
         np.asarray(terrain.measured_heights(x, y)),
         atol=1e-5,
     )

@@ -1036,8 +1036,8 @@ class LeggedEnv:
         world = maths.quat_apply_yaw(
             base_quat[:, None, :], jnp.broadcast_to(pts, (n, self.num_height_points, 3))
         ) + phys.base_pos[:, None, :]
-        tiles = self.terrain.extract_tiles(phys.base_pos[:, :2])
-        return self.terrain.tile_measured(*tiles, world[..., 0], world[..., 1])
+        tiles = self.terrain.extract_tiles(phys.base_pos[:, :2], min_tiles=True)
+        return self.terrain.tile_measured_1tap(*tiles, world[..., 0], world[..., 1])
 
     def _reset_where(
         self, state: EnvState, done: jax.Array, key=None, update_curriculum: bool = False

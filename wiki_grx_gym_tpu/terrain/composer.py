@@ -189,34 +189,50 @@ class Terrain:
     # vmapped dynamic_slice XLA lowers to contiguous block DMAs — and
     # (b) separable one-hot matmul interpolation on the MXU run ~7x
     # faster (6.5 ms, job09). Results are exact (Precision.HIGHEST keeps
-    # f32) while the queries stay inside the tile: +-2.4 m around the
+    # f32) while the queries stay inside the tile: +-1.6 m around the
     # tile center at 0.1 m resolution, vs a <=1.3 m robot reach.
 
-    TILE = 48
+    # TILE covers +-TILE/2 * 0.1 m = +-1.6 m around the rounded base center;
+    # worst-case query reach is ~1.35 m (contact spheres of a toppling robot
+    # + the 0.05 m gradient eps; the yaw-rotated measurement grid is 0.71 m)
+    TILE = 32
     CHUNK = 128  # lane width of one gathered row segment
+
+    def _chunked(self, hs_np: np.ndarray):
+        """(H, W) field -> ((H * Wp/128, 128) lane chunks, Wp/128). Columns
+        are edge-padded to a CHUNK multiple plus one spare chunk so any
+        TILE-wide window's two covering chunks exist. Built in numpy: the
+        cache must stay concrete even when the first extract_tiles call
+        happens inside a jit trace (anything jnp-created there is a tracer)."""
+        w = hs_np.shape[1]
+        wp = ((w + self.CHUNK - 1) // self.CHUNK + 1) * self.CHUNK
+        pad = np.pad(hs_np, ((0, 0), (0, wp - w)), mode="edge")
+        return pad.reshape(hs_np.shape[0] * (wp // self.CHUNK), self.CHUNK), wp // self.CHUNK
 
     @property
     def _hs_chunks(self):
-        """Heightfield reshaped to (H * W/128, 128) lane chunks for tile
-        extraction. Columns are edge-padded to a CHUNK multiple plus one
-        spare chunk so any TILE-wide window's two covering chunks exist."""
         if getattr(self, "_hs_chunks_cache", None) is None:
-            # built in numpy so the cached array is concrete even when the
-            # first extract_tiles call happens inside a jit trace
-            hs = np.asarray(self.height_field_raw, np.float32)
-            w = hs.shape[1]
-            wp = ((w + self.CHUNK - 1) // self.CHUNK + 1) * self.CHUNK
-            pad = np.pad(hs, ((0, 0), (0, wp - w)), mode="edge")
-            # cached as numpy: anything jnp-created inside a jit trace is a
-            # tracer and must not be cached across traces
-            self._hs_chunks_cache = (
-                pad.reshape(hs.shape[0] * (wp // self.CHUNK), self.CHUNK),
-                wp // self.CHUNK,
+            self._hs_chunks_cache = self._chunked(
+                np.asarray(self.height_field_raw, np.float32)
             )
         return self._hs_chunks_cache
 
-    def extract_tiles(self, center_xy: jax.Array):
+    @property
+    def _hs_min_chunks(self):
+        """Chunked 3-tap-min field: hs_min[x, y] = min(hs[x,y], hs[x+1,y],
+        hs[x,y+1]) precomputed once, so the conservative observation sample
+        (legged_robot.py:1258-1274) is a single tap instead of three."""
+        if getattr(self, "_hs_min_chunks_cache", None) is None:
+            hs = np.asarray(self.height_field_raw, np.float32)
+            xp = np.concatenate([hs[1:], hs[-1:]], axis=0)
+            yp = np.concatenate([hs[:, 1:], hs[:, -1:]], axis=1)
+            self._hs_min_chunks_cache = self._chunked(np.minimum(hs, np.minimum(xp, yp)))
+        return self._hs_min_chunks_cache
+
+    def extract_tiles(self, center_xy: jax.Array, min_tiles: bool = False):
         """(N, 2) world xy -> ((N, T, T) tiles, (N,) sx, (N,) sy).
+        ``min_tiles`` extracts from the precomputed 3-tap-min field
+        (for :meth:`tile_measured_1tap`) instead of the raw heightfield.
 
         vmapped ``dynamic_slice`` lowered to scattered per-element gathers
         (6.3 ms of the 13.9 ms terrain policy step at 4096 envs, r2 job24).
@@ -232,7 +248,7 @@ class Terrain:
         py = (center_xy[:, 1] + self._border_m) / self._hs
         sx = jnp.clip(jnp.round(px).astype(jnp.int32) - t // 2, 0, hs.shape[0] - t)
         sy = jnp.clip(jnp.round(py).astype(jnp.int32) - t // 2, 0, hs.shape[1] - t)
-        chunks, nc = self._hs_chunks
+        chunks, nc = self._hs_min_chunks if min_tiles else self._hs_chunks
         cy = sy // ck
         rows = sx[:, None] + jnp.arange(t, dtype=jnp.int32)             # (N, T)
         idx = rows[:, :, None] * nc + cy[:, None, None] + jnp.arange(2)[None, None, :]
@@ -296,6 +312,27 @@ class Terrain:
         wy = jnp.concatenate([oh(ly), oh(ly), oh(ly + 1)], axis=1)
         h3 = self._sep_lookup(tiles, wx, wy).reshape(x.shape[0], 3, -1)
         return jnp.min(h3, axis=1) * self._vs
+
+    def tile_measured_1tap(self, tiles_min, sx, sy, x: jax.Array, y: jax.Array):
+        """== ``measured_heights`` in-tile, as ONE tap on a tile extracted
+        from the precomputed 3-tap-min field (``extract_tiles(...,
+        min_tiles=True)``) — one-hots a third the size of
+        :meth:`tile_measured`'s (2.2 ms of the 7.9 ms terrain policy step
+        at 4096 envs, r2 job24/job25)."""
+        t = tiles_min.shape[-1]
+        hs = self.height_samples
+        px = jnp.clip(
+            ((x + self._border_m) / self._hs).astype(jnp.int32), 0, hs.shape[0] - 2
+        )
+        py = jnp.clip(
+            ((y + self._border_m) / self._hs).astype(jnp.int32), 0, hs.shape[1] - 2
+        )
+        lx = jnp.clip(px - sx[:, None], 0, t - 2)
+        ly = jnp.clip(py - sy[:, None], 0, t - 2)
+        ix = jnp.arange(t, dtype=jnp.int32)
+        wx = (ix == lx[..., None]).astype(tiles_min.dtype)
+        wy = (ix == ly[..., None]).astype(tiles_min.dtype)
+        return self._sep_lookup(tiles_min, wx, wy) * self._vs
 
     def sample_origins(self, key: jax.Array, num_envs: int, cfg):
         """Initial terrain level/type assignment (legged_robot.py:1167-1183)."""
