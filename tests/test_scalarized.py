@@ -310,3 +310,73 @@ def test_local_plane_contact_matches_engine_on_slope(env):
             np.asarray(getattr(got, name)), np.asarray(getattr(want, name)),
             rtol=2e-4, atol=2e-5, err_msg=name,
         )
+
+
+def test_local_plane_walls_contact_matches_engine_on_step(env):
+    """terrain_mode="local_plane_walls" vs the engine with a constant
+    riser-channel ground query: flat tread at z=0 plus an up-riser wall just
+    ahead of the robots (+x). Robots are given forward velocity so feet
+    press the face — wall penalty, tread suppression and cone friction are
+    exercised end-to-end and must match to float tolerance."""
+    n = 8
+    wall_x, wall_top = 0.22, 0.2
+    np_ = env.model.num_points
+
+    phys = random_states(env, n, seed=11)
+    # aim everything at the wall
+    phys = phys.replace(
+        base_pos=phys.base_pos.at[:, 0].set(0.0),
+        base_lin_vel=phys.base_lin_vel.at[:, 0].set(2.0),
+    )
+    rng = np.random.RandomState(12)
+    tau = jnp.asarray(rng.randn(n, env.num_dof).astype(np.float32) * 5.0)
+    rand = BodyRandomization(
+        friction=jnp.ones(n), restitution=jnp.zeros(n),
+        base_mass_scale=jnp.ones(n), base_com_offset=jnp.zeros((n, 3)),
+    )
+    chan = jnp.asarray([0.0, 0.0, 0.0, wall_x, wall_top, 1.0, 0.0, 0.0, 0.0])
+
+    def gq(x, y):
+        return jnp.broadcast_to(chan, x.shape + (9,))
+
+    def eng_roll(phys):
+        step = jax.vmap(
+            lambda p, t, r: physics_step(
+                env.model, p, t, flat_ground, env.contact_params, r,
+                env.sim_dt, self_pairs=env.self_pairs, ground_query=gq,
+            )
+        )
+        for _ in range(2):
+            phys, _ = step(phys, tau, rand)
+        return phys
+
+    sub = ScalarSubstep(
+        env.model, env.contact_params, env.sim_dt, env.self_pairs,
+        terrain_mode="local_plane_walls",
+    )
+    taus = [tau[..., i] for i in range(env.num_dof)]
+    lanes9 = [jnp.broadcast_to(chan[k], (n,)) for k in range(9)]
+    plane = [list(lanes9) for _ in range(np_)]
+
+    def scalar_roll(phys):
+        lanes = state_to_lanes(phys)
+        lanes.update(
+            friction=rand.friction, restitution=rand.restitution,
+            mass_scale=rand.base_mass_scale,
+            com_offset=[rand.base_com_offset[..., k] for k in range(3)],
+            plane=plane,
+        )
+        for _ in range(2):
+            lanes, _ = sub.substep(lanes, taus)
+        return lanes_to_state(lanes, PhysicsState)
+
+    want = jax.jit(eng_roll)(phys)
+    with jax.disable_jit():   # same reason as test_substep_matches_engine
+        got = scalar_roll(phys)
+    # sanity: the wall actually acted (forward motion braked vs free flight)
+    assert float(jnp.max(want.base_pos[:, 0])) < 0.25
+    for name in ("base_pos", "base_quat", "base_lin_vel", "base_ang_vel", "q", "qd", "anchor"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name)), np.asarray(getattr(want, name)),
+            rtol=2e-4, atol=2e-5, err_msg=name,
+        )

@@ -147,6 +147,29 @@ def test_tile_lookups_match_global(small_terrain_cfg):
         np.asarray(terrain.measured_heights(x, y)),
         atol=1e-5,
     )
+    # the in-tile derived min (shared-extraction path) must match the
+    # precomputed min field for all queried cells
+    raw, sx, sy = tiles
+    np.testing.assert_allclose(
+        np.asarray(terrain.tile_measured_1tap(terrain.tile_min(raw), sx, sy, x, y)),
+        np.asarray(terrain.measured_heights(x, y)),
+        atol=1e-5,
+    )
+
+
+def test_origin_tiles_match_extraction(small_terrain_cfg):
+    """The per-cell origin-tile table must equal a direct extraction at the
+    cell origins (the reset-env ground-plane path)."""
+    terrain = Terrain(small_terrain_cfg.terrain, rng=np.random.RandomState(0))
+    r, c = small_terrain_cfg.terrain.num_rows, small_terrain_cfg.terrain.num_cols
+    levels = jnp.asarray([i for i in range(r) for _ in range(c)], jnp.int32)
+    types = jnp.asarray([j for _ in range(r) for j in range(c)], jnp.int32)
+    centers = terrain.terrain_origins[levels, types][:, :2]
+    t_direct, sx_d, sy_d = terrain.extract_tiles(centers)
+    t_table, sx_t, sy_t = terrain.origin_tile_lookup(levels, types)
+    np.testing.assert_array_equal(np.asarray(sx_t), np.asarray(sx_d))
+    np.testing.assert_array_equal(np.asarray(sy_t), np.asarray(sy_d))
+    np.testing.assert_allclose(np.asarray(t_table), np.asarray(t_direct), atol=1e-5)
 
 
 def test_rough_terrain_env_steps(small_terrain_cfg):

@@ -220,6 +220,13 @@ class LeggedEnv:
             self.height_fn = terrain.height_fn
         else:
             self.height_fn = flat_ground
+        # trimesh mesh_type: stair risers above the slope threshold become
+        # near-vertical walls (terrain_utils.py:286-328 semantics); the
+        # contact path switches to the riser-aware 9-channel ground query
+        self.riser_mode = (
+            terrain is not None
+            and getattr(terrain, "slope_threshold_raw", None) is not None
+        )
         self.contact_params = ContactParams(
             stiffness=c.sim.contact_stiffness,
             damping_ratio=c.sim.contact_damping_ratio,
@@ -490,9 +497,15 @@ class LeggedEnv:
         from wiki_grx_gym_tpu.sim.pallas_step import PallasDecimation
         from wiki_grx_gym_tpu.sim.scalarized import ScalarDecimation, ScalarSubstep
 
+        if self.terrain is None:
+            tmode = "plane"
+        elif self.riser_mode:
+            tmode = "local_plane_walls"
+        else:
+            tmode = "local_plane"
         sub = ScalarSubstep(
             self.model, self.contact_params, self.sim_dt, self.self_pairs,
-            terrain_mode="local_plane" if self.terrain is not None else "plane",
+            terrain_mode=tmode,
         )
         deci = ScalarDecimation(
             sub, self.decimation, self.cfg.control.control_type,
@@ -542,8 +555,16 @@ class LeggedEnv:
         ``tiles`` (from ``terrain.extract_tiles``) routes the five taps
         through the MXU tile path instead of scattered gathers — the
         heightfield lookups were nearly all of terrain-mode step time
-        (45.4 of ~42.8 ms/policy-step at 4096 envs, r2 job09/job05)."""
+        (45.4 of ~42.8 ms/policy-step at 4096 envs, r2 job09/job05).
+
+        In riser (trimesh) mode the result is the 9-channel riser-aware
+        query instead: tread plane with analytic in-cell gradient + per-axis
+        vertical walls (`terrain/composer.riser_channels`)."""
         x, y = pos[..., 0], pos[..., 1]
+        if self.riser_mode:
+            if tiles is not None:
+                return self.terrain.tile_ground_channels(*tiles, x, y)
+            return self.terrain.ground_channels(x, y)
         eps = 0.05
         if tiles is not None:
             hf = lambda xx, yy: self.terrain.tile_height_fn(*tiles, xx, yy)
@@ -558,13 +579,21 @@ class LeggedEnv:
         gy = (hyp - hym) / (2.0 * eps)
         return jnp.stack([h - gx * x - gy * y, gx, gy], axis=-1)
 
-    def _refresh_ground_plane(self, state: EnvState, reset_mask, point_pos=None):
+    def _refresh_ground_plane(self, state: EnvState, reset_mask, point_pos=None,
+                              shared_tiles=None):
         """Resample the per-point ground planes for the next policy step
         (kernel-over-heightfield path only). Non-reset envs sample at the
         kernel's final-state point positions (exact); just-reset envs at the
         default-pose offsets around their new root (the spawn platform is
         locally flat, so the approximation is benign and self-corrects next
-        step)."""
+        step).
+
+        ``shared_tiles`` is the step's one raw-tile extraction, centered at
+        the *pre-reset* base positions — exact for non-reset envs (their
+        base did not move). Just-reset envs moved to their (possibly
+        curriculum-updated) cell origin +-1 m, so their tiles come from the
+        precomputed per-cell origin-tile table instead (a cheap contiguous
+        row gather) — no second full extraction."""
         if self._pallas_mode() is None or self.terrain is None:
             return state
         phys = state.physics
@@ -576,7 +605,20 @@ class LeggedEnv:
             pp = pp_reset
         else:
             pp = jnp.where(reset_mask[:, None, None], pp_reset, point_pos)
-        tiles = self.terrain.extract_tiles(phys.base_pos[:, :2])
+        if shared_tiles is None:
+            # init/reset path: base positions are already post-reset
+            tiles = self.terrain.extract_tiles(phys.base_pos[:, :2])
+        else:
+            raw, sx, sy = shared_tiles
+            if self.custom_origins:
+                o_raw, o_sx, o_sy = self.terrain.origin_tile_lookup(
+                    state.terrain_levels, state.terrain_types
+                )
+                m1 = reset_mask[:, None, None]
+                raw = jnp.where(m1, o_raw, raw)
+                sx = jnp.where(reset_mask, o_sx, sx)
+                sy = jnp.where(reset_mask, o_sy, sy)
+            tiles = (raw, sx, sy)
         return state.replace(ground_plane=self._sample_point_planes(pp, tiles=tiles))
 
     def _run_decimation(self, state: EnvState, actions: jax.Array, delay: jax.Array):
@@ -597,10 +639,13 @@ class LeggedEnv:
 
         imp_d = self._implicit_damping_const
 
+        gq = self.terrain.ground_channels if self.riser_mode else None
+
         def one_substep(phys, tau, rand, damp):
             return physics_step(
                 self.model, phys, tau, self.height_fn, self.contact_params, rand,
                 self.sim_dt, self_pairs=self.self_pairs, joint_damping=damp,
+                ground_query=gq,
             )
 
         vstep = jax.vmap(one_substep)
@@ -693,8 +738,18 @@ class LeggedEnv:
         gravity_vec = jnp.asarray([0.0, 0.0, -1.0])
         projected_gravity = maths.quat_rotate_inverse(base_quat, jnp.broadcast_to(gravity_vec, (n, 3)))
 
+        # ONE heightfield tile extraction per policy step, shared between the
+        # measured-heights observation and the kernel-path ground-plane
+        # refresh (each was a full extraction in round 2 — tile extraction
+        # was 4.8 of the 7.9 ms terrain step at 4096 envs)
+        terrain_tiles = (
+            self.terrain.extract_tiles(phys.base_pos[:, :2])
+            if self.terrain is not None
+            else None
+        )
+
         # measured terrain heights around the base (legged_robot.py:1235-1274)
-        measured_heights = self._measured_heights(phys, base_quat)  # (N, H)
+        measured_heights = self._measured_heights(phys, base_quat, tiles=terrain_tiles)
         mean_heights = jnp.mean(measured_heights, axis=1)
 
         hscale = c.normalization.obs_scales.height_measurements
@@ -866,7 +921,9 @@ class LeggedEnv:
             feet_land_time=feet_land_time,
         )
         state = self._reset_where(state, reset_buf, key=k_reset, update_curriculum=True)
-        state = self._refresh_ground_plane(state, reset_buf, point_pos=point_pos)
+        state = self._refresh_ground_plane(
+            state, reset_buf, point_pos=point_pos, shared_tiles=terrain_tiles
+        )
 
         # record "last" values (legged_robot.py:299-300 + fftai:94-97);
         # reset envs keep zeros from _reset_where
@@ -1024,9 +1081,12 @@ class LeggedEnv:
         yaw_cmd = jnp.clip(0.5 * maths.wrap_to_pi(commands[:, 3] - heading), r[0], r[1])
         return commands.at[:, 2].set(yaw_cmd)
 
-    def _measured_heights(self, phys, base_quat):
+    def _measured_heights(self, phys, base_quat, tiles=None):
         """Terrain heights at the yaw-rotated measurement grid
-        (legged_robot.py:1235-1274); plane terrain -> zeros."""
+        (legged_robot.py:1235-1274); plane terrain -> zeros. ``tiles`` is the
+        step's shared raw-tile extraction; the conservative 3-tap-min field
+        is derived in-tile (an elementwise shift+min) instead of extracting
+        the precomputed min field separately."""
         n = self.num_envs
         if self.terrain is None:
             return jnp.zeros((n, self.num_height_points))
@@ -1036,8 +1096,12 @@ class LeggedEnv:
         world = maths.quat_apply_yaw(
             base_quat[:, None, :], jnp.broadcast_to(pts, (n, self.num_height_points, 3))
         ) + phys.base_pos[:, None, :]
-        tiles = self.terrain.extract_tiles(phys.base_pos[:, :2], min_tiles=True)
-        return self.terrain.tile_measured_1tap(*tiles, world[..., 0], world[..., 1])
+        if tiles is None:
+            tiles = self.terrain.extract_tiles(phys.base_pos[:, :2])
+        raw, sx, sy = tiles
+        return self.terrain.tile_measured_1tap(
+            self.terrain.tile_min(raw), sx, sy, world[..., 0], world[..., 1]
+        )
 
     def _reset_where(
         self, state: EnvState, done: jax.Array, key=None, update_curriculum: bool = False

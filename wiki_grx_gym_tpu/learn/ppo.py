@@ -110,6 +110,10 @@ class PPO:
         # returns, advantages) always stay float32.
         sd = str(getattr(alg_cfg, "storage_dtype", "bfloat16") or "float32")
         self.storage_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[sd]
+        # rematerialize the minibatch forward in the backward pass instead of
+        # storing activations: trades ~1/3 more MXU work for zero
+        # activation HBM traffic in the update's grad steps
+        self.remat_update = bool(getattr(alg_cfg, "remat_update", False))
 
         self.tx = optax.inject_hyperparams(
             lambda learning_rate: optax.chain(
@@ -316,7 +320,11 @@ class PPO:
             jnp.arange(self.num_mini_batches, dtype=jnp.int32),
             self.num_learning_epochs,
         )
-        return self._run_epochs(ppo_state, idx, get_mb, self._minibatch_loss)
+        loss_fn = (
+            jax.checkpoint(self._minibatch_loss) if self.remat_update
+            else self._minibatch_loss
+        )
+        return self._run_epochs(ppo_state, idx, get_mb, loss_fn)
 
     def _run_epochs(self, ppo_state: PPOState, perms, get_mb, loss_fn):
         """Shared epochs-x-minibatches scan: grads, adaptive-KL LR, NaN skip,

@@ -69,6 +69,37 @@ def ground_normal(height_fn: HeightFn, x: jax.Array, y: jax.Array, eps: float = 
     return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
 
 
+def wall_forces(params: ContactParams, pos, vel, radius, walls, d_n):
+    """Near-vertical riser-face penalty forces from per-point wall channels
+    (the last 6 of `terrain/composer.riser_channels`: per axis
+    ``(pos, top, sign)``; solid occupies ``sign*(coord-pos) > 0`` below
+    ``top``). The face is frictionless — a foot pressed against a stair
+    riser slides down it instead of climbing, which is the PhysX-trimesh
+    behavior the reference's slope correction exists to produce
+    (`terrain_utils.py:286-328`).
+
+    Returns ``(force (..., 3), inside (...))`` where ``inside`` marks points
+    whose *center* is strictly within a wall's solid below its top — their
+    vertical tread force must be suppressed (the nearest surface is the
+    riser face; resolving such a point up through the high tread launches
+    it ballistically — the r3 tunneling failure mode)."""
+    out = jnp.zeros_like(pos)
+    inside = jnp.zeros(pos.shape[:-1], bool)
+    for a in range(2):
+        wp = walls[..., 3 * a + 0]
+        wt = walls[..., 3 * a + 1]
+        ws = walls[..., 3 * a + 2]
+        below = pos[..., 2] < wt
+        pen = ws * (pos[..., a] - wp) + radius
+        act = (ws != 0.0) & (pen > 0.0) & below
+        v_n = -ws * vel[..., a]   # velocity along the face's OUTWARD normal
+        f = jnp.maximum(params.stiffness * jnp.minimum(pen, 0.5) - d_n * v_n, 0.0)
+        f = jnp.where(act, f, 0.0)
+        out = out.at[..., a].add(-ws * f)
+        inside = inside | ((ws != 0.0) & (ws * (pos[..., a] - wp) > 0.0) & below)
+    return out, inside
+
+
 def contact_forces(
     params: ContactParams,
     height_fn: HeightFn,
@@ -79,6 +110,7 @@ def contact_forces(
     restitution: jax.Array,   # per-env scalar in [0, 1]
     dt: float,
     anchor: jax.Array = None,  # (P, 3) stick-friction anchors (world)
+    ground_query=None,    # (x, y) -> (..., 9) riser channels (trimesh mode)
 ):
     """World-frame contact force (P, 3) on each proxy sphere.
 
@@ -86,9 +118,24 @@ def contact_forces(
     anchor that slips along the Coulomb cone (true static friction — no
     creep under sustained shear); returns ``(force, new_anchor)``.
     Without it, friction is the capped-viscous law and only the force is
-    returned."""
-    h = height_fn(pos[..., 0], pos[..., 1])
-    n = ground_normal(height_fn, pos[..., 0], pos[..., 1])
+    returned.
+
+    With ``ground_query`` (trimesh mesh_type), the tread height/normal come
+    from the riser-aware channels (analytic in-cell gradient, riser cells
+    flattened to the low tread) and vertical riser faces push back
+    horizontally via :func:`wall_forces`."""
+    if ground_query is not None:
+        ch = ground_query(pos[..., 0], pos[..., 1])
+        h = ch[..., 0] + ch[..., 1] * pos[..., 0] + ch[..., 2] * pos[..., 1]
+        nv = jnp.stack(
+            [-ch[..., 1], -ch[..., 2], jnp.ones_like(h)], axis=-1
+        )
+        n = nv / jnp.linalg.norm(nv, axis=-1, keepdims=True)
+        walls = ch[..., 3:]
+    else:
+        h = height_fn(pos[..., 0], pos[..., 1])
+        n = ground_normal(height_fn, pos[..., 0], pos[..., 1])
+        walls = None
 
     # deep-penetration clamp bounds the restoring force if a body tunnels
     # (PhysX: max_depenetration_velocity, legged_robot_config.py:49)
@@ -103,6 +150,11 @@ def contact_forces(
     d_n = jnp.minimum(2.0 * zeta * jnp.sqrt(params.stiffness * params.point_mass), imp_cap)
     f_n = jnp.maximum(params.stiffness * depth - d_n * v_n, 0.0)
     f_n = jnp.where(active, f_n, 0.0)
+    if walls is not None:
+        f_wall, inside_wall = wall_forces(params, pos, vel, radius, walls, d_n)
+        # a center inside a riser solid resolves horizontally, not up
+        # through the high tread
+        f_n = jnp.where(inside_wall, 0.0, f_n)
 
     cone = friction * f_n
     use_anchor = anchor is not None and params.tangent_stiffness > 0.0
@@ -130,6 +182,8 @@ def contact_forces(
         f_t = -k_t[..., None] * v_t
 
     force = f_n[..., None] * n + f_t
+    if walls is not None:
+        force = force + f_wall
     if use_anchor:
         return force, new_anchor
     return force

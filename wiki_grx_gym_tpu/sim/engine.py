@@ -108,6 +108,7 @@ def physics_step(
     fixed_base: bool = False,
     self_pairs: tuple = ((), ()),   # static (pairs_i, pairs_j) for self-collision
     joint_damping: jax.Array = None,  # (D,) actuator damping solved implicitly
+    ground_query=None,  # riser-aware 9-channel query (trimesh mesh_type)
 ) -> tuple[PhysicsState, PhysicsOutput]:
     # joint position limits (legged_robot.py:594-615 reads them from the
     # URDF; PhysX enforces them as hard constraints). Effort-scaled penalty:
@@ -149,6 +150,7 @@ def physics_step(
             rand.restitution,
             dt,
             anchor=state.anchor,
+            ground_query=ground_query,
         )
     else:
         f_points = contact_forces(
@@ -160,6 +162,7 @@ def physics_step(
             rand.friction,
             rand.restitution,
             dt,
+            ground_query=ground_query,
         )
         new_anchor = state.anchor
     if self_pairs[0]:

@@ -38,8 +38,9 @@ ENV_BLOCK = _SUB * _LANE   # 1024 envs per grid step
 
 
 def _schema(nd: int, np_: int, nf: int, with_last_qd: bool, npost: int = 0,
-            with_plane: bool = False):
+            plane_lanes: int = 0):
     """(name, count) component layout for kernel input/output packing."""
+    with_plane = plane_lanes > 0
     state = [
         ("pos", 3), ("quat", 4), ("lin", 3), ("ang", 3),
         ("q", nd), ("qd", nd), ("anchor", 3 * np_),
@@ -52,9 +53,10 @@ def _schema(nd: int, np_: int, nf: int, with_last_qd: bool, npost: int = 0,
     if with_last_qd:
         inputs.append(("last_qd", nd))
     if with_plane:
-        # per-contact-point local ground planes (c, gx, gy) — heightfield
-        # terrain support (scalarized.ScalarSubstep terrain_mode)
-        inputs.append(("plane", 3 * np_))
+        # per-contact-point local ground lanes: (c, gx, gy) for heightfield
+        # terrain, + per-axis riser walls (9 lanes) for trimesh
+        # (scalarized.ScalarSubstep terrain_mode)
+        inputs.append(("plane", plane_lanes * np_))
     outputs = state + [
         ("force_sum", nf), ("vxyz_sum", 3 * nf), ("vrpy_sum", 3 * nf),
         ("tau", nd), ("point_force", 3 * np_),
@@ -90,10 +92,11 @@ class PallasDecimation:
         self.nf = len(deci.feet_bodies)
         self.npost = len(deci.post_bodies)
         self.with_last_qd = deci.control_type == "V"
-        self.with_plane = deci.sub.terrain_mode == "local_plane"
+        self.plane_lanes = deci.sub.plane_lanes
+        self.with_plane = self.plane_lanes > 0
         self.in_schema, self.out_schema = _schema(
             self.nd, self.np_, self.nf, self.with_last_qd, self.npost,
-            self.with_plane,
+            self.plane_lanes,
         )
         self.in_off, self.c_in = _offsets(self.in_schema)
         self.out_off, self.c_out = _offsets(self.out_schema)

@@ -157,8 +157,15 @@ class ScalarSubstep:
         # TPU-native answer to in-kernel heightfield lookups: per-lane
         # dynamic gathers don't vectorize on the VPU, an analytic local
         # model does.
-        assert terrain_mode in ("plane", "local_plane"), terrain_mode
+        # "local_plane_walls": 9 lanes per point — the tread plane plus up
+        # to one near-vertical riser face per axis (trimesh mesh_type;
+        # `terrain/composer.riser_channels`, mirroring the reference's
+        # slope-threshold correction terrain_utils.py:315-328).
+        assert terrain_mode in ("plane", "local_plane", "local_plane_walls"), terrain_mode
         self.terrain_mode = terrain_mode
+        self.plane_lanes = {"plane": 0, "local_plane": 3, "local_plane_walls": 9}[
+            terrain_mode
+        ]
 
         m = model
         self.nb = m.num_bodies
@@ -243,10 +250,10 @@ class ScalarSubstep:
             pts_vel.append(vel)
 
             r = float(self.point_radius[p])
-            if self.terrain_mode == "local_plane":
+            if self.terrain_mode in ("local_plane", "local_plane_walls"):
                 # full normal-aware contact vs the per-point ground plane —
                 # mirrors contact.contact_forces with h = c + gx*x + gy*y
-                cpl, gx, gy = state["plane"][p]
+                cpl, gx, gy = state["plane"][p][:3]
                 inv = 1.0 / jnp.sqrt(gx * gx + gy * gy + 1.0)
                 n = [-gx * inv, -gy * inv, inv]
                 h = cpl + gx * pos[0] + gy * pos[1]
@@ -255,6 +262,26 @@ class ScalarSubstep:
                 v_n = _dot(vel, n)
                 f_n = jnp.maximum(c.stiffness * depth - d_n * v_n, 0.0)
                 f_n = jnp.where(active, f_n, 0.0)
+                wall_fx = [0.0, 0.0]
+                if self.terrain_mode == "local_plane_walls":
+                    # frictionless riser-face penalty per axis + tread
+                    # suppression for centers inside a riser solid
+                    # (contact.wall_forces semantics)
+                    lanes = state["plane"][p]
+                    for ax in range(2):
+                        wp_ = lanes[3 + 3 * ax]
+                        wt_ = lanes[4 + 3 * ax]
+                        ws_ = lanes[5 + 3 * ax]
+                        below = pos[2] < wt_
+                        pen = ws_ * (pos[ax] - wp_) + r
+                        act_w = (ws_ != 0.0) & (pen > 0.0) & below
+                        v_nw = -ws_ * vel[ax]   # outward-normal velocity
+                        f_w = jnp.maximum(
+                            c.stiffness * jnp.minimum(pen, 0.5) - d_n * v_nw, 0.0
+                        )
+                        wall_fx[ax] = -ws_ * jnp.where(act_w, f_w, 0.0)
+                        inside = (ws_ != 0.0) & (ws_ * (pos[ax] - wp_) > 0.0) & below
+                        f_n = jnp.where(inside, 0.0, f_n)
                 cone = mu * f_n
                 v_t = _sub(vel, _scale(n, v_n))
 
@@ -281,7 +308,11 @@ class ScalarSubstep:
                     )
                     f_t = _scale(v_t, -k_t)
                     anchors.append(state["anchor"][p])
-                forces.append(_add(_scale(n, f_n), f_t))
+                force_p = _add(_scale(n, f_n), f_t)
+                if self.terrain_mode == "local_plane_walls":
+                    force_p[0] = force_p[0] + wall_fx[0]
+                    force_p[1] = force_p[1] + wall_fx[1]
+                forces.append(force_p)
                 continue
 
             depth = jnp.minimum(h0 - (pos[2] - r), 0.5)

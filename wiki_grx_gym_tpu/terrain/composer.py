@@ -20,6 +20,103 @@ import jax.numpy as jnp
 from wiki_grx_gym_tpu.terrain import generators as G
 
 
+def riser_channels(h00, h10, h01, h11, hxb0, hxb1, hyb0, hyb1,
+                   x0w, y0w, fx, fy, hs_m, vs, thr):
+    """Vertical-surface (stair-riser) ground channels from a cell's four
+    corner heights plus one backward neighbor row per axis — the TPU-native
+    equivalent of the reference's trimesh slope-threshold correction
+    (`terrain_utils.py:315-328`): where a cell-edge height difference
+    exceeds ``thr`` (raw units), the *lower* vertex extends horizontally to
+    the high side's grid line and the surface becomes a vertical wall there.
+
+    Inputs are broadcastable arrays: heights in raw (int16) units —
+    ``hxb*`` = heights at ``(x0-1, y0)/(x0-1, y0+1)``, ``hyb*`` at
+    ``(x0, y0-1)/(x0+1, y0-1)`` (the cell behind each axis, so a point that
+    crossed a riser line still sees the face it crossed); ``x0w/y0w`` the
+    world coordinates of the cell's (x0, y0) corner, ``fx/fy`` in-cell
+    fractions, ``hs_m/vs`` horizontal/vertical scales, ``thr`` the
+    threshold in raw units.
+
+    Returns 9 channels (world meters):
+    ``(c, gx, gy, wx_pos, wx_top, wx_sign, wy_pos, wy_top, wy_sign)`` —
+    the *tread* plane ``h(x, y) = c + gx x + gy y`` (riser cells flattened
+    to the low tread, analytic in-cell gradient) plus up to one wall per
+    axis: solid occupies ``sign * (coord - pos) > 0`` below ``top``;
+    ``sign = 0`` means no wall. Contact code must additionally suppress the
+    vertical tread force when a point's *center* is strictly inside a wall's
+    solid below its top (it is inside the step, and the nearest face is the
+    riser — otherwise a point that tunnels past the line gets launched
+    vertically by the high tread). Sphere radii must be <= one cell for a
+    face to be seen before the center enters its cell."""
+    dx0, dx1 = h10 - h00, h11 - h01
+
+    def ir(a, d, f):
+        # riser-flattened 1-D interpolation: (value, d value / d f)
+        f_eff = jnp.where(d > thr, 0.0, jnp.where(d < -thr, 1.0, f))
+        g = jnp.where(jnp.abs(d) > thr, 0.0, d)
+        return a + f_eff * d, g
+
+    v0, g0 = ir(h00, dx0, fx)
+    v1, g1 = ir(h01, dx1, fx)
+    dyv = v1 - v0
+    h, gy_raw = ir(v0, dyv, fy)
+    # x-gradient comes from the tread actually under the point: the low
+    # y-side when the y edge is a riser, the fy-blend otherwise
+    wy_low = jnp.where(dyv > thr, 0.0, jnp.where(dyv < -thr, 1.0, fy))
+    gx_raw = (1.0 - wy_low) * g0 + wy_low * g1
+
+    g2m = vs / hs_m
+    gx = gx_raw * g2m
+    gy = gy_raw * g2m
+    c = h * vs - gx * (x0w + fx * hs_m) - gy * (y0w + fy * hs_m)
+
+    def axis_wall(d_in, d_back, low0w, hi_up, hi_dn, hi_b_this, hi_b_prev):
+        """One axis's wall from the in-cell edge (priority) or the back
+        edge. ``low0w`` = world coord of the cell's lower grid line;
+        ``hi_*`` = interpolated high-side heights (raw) per case."""
+        in_up = d_in > thr          # wall at the +edge, solid beyond it
+        in_dn = d_in < -thr         # wall at the -edge, solid behind it
+        b_up = d_back > thr         # THIS cell is the high side: face at
+        #                             the -edge, solid = this cell (below top)
+        b_dn = d_back < -thr        # previous cell higher: face at the
+        #                             -edge, solid = previous cell
+        sign = jnp.where(
+            in_up, 1.0,
+            jnp.where(in_dn, -1.0, jnp.where(b_up, 1.0, jnp.where(b_dn, -1.0, 0.0))),
+        )
+        pos_w = jnp.where(in_up, low0w + hs_m, low0w)
+        top = jnp.where(
+            in_up, hi_up,
+            jnp.where(in_dn, hi_dn, jnp.where(b_up, hi_b_this, hi_b_prev)),
+        ) * vs
+        return pos_w, top, sign
+
+    dxi = (1.0 - fy) * dx0 + fy * dx1
+    dxb = (1.0 - fy) * (h00 - hxb0) + fy * (h01 - hxb1)
+    wx_pos, wx_top, wx_sign = axis_wall(
+        dxi, dxb, x0w,
+        (1.0 - fy) * h10 + fy * h11,     # in-cell up: high = +x corners
+        (1.0 - fy) * h00 + fy * h01,     # in-cell down: high = -x corners
+        (1.0 - fy) * h00 + fy * h01,     # back up: this cell's -x corners
+        (1.0 - fy) * hxb0 + fy * hxb1,   # back down: previous cell
+    )
+
+    dy0, dy1 = h01 - h00, h11 - h10
+    dyi = (1.0 - fx) * dy0 + fx * dy1
+    dyb = (1.0 - fx) * (h00 - hyb0) + fx * (h10 - hyb1)
+    wy_pos, wy_top, wy_sign = axis_wall(
+        dyi, dyb, y0w,
+        (1.0 - fx) * h01 + fx * h11,
+        (1.0 - fx) * h00 + fx * h10,
+        (1.0 - fx) * h00 + fx * h10,
+        (1.0 - fx) * hyb0 + fx * hyb1,
+    )
+
+    return jnp.stack(
+        [c, gx, gy, wx_pos, wx_top, wx_sign, wy_pos, wy_top, wy_sign], axis=-1
+    )
+
+
 class Terrain:
     def __init__(self, cfg, rng: np.random.RandomState | None = None):
         self.cfg = cfg
@@ -53,6 +150,37 @@ class Terrain:
         self._hs = float(cfg.horizontal_scale)
         self._vs = float(cfg.vertical_scale)
         self._border_m = float(cfg.border_size)
+        # trimesh mesh_type: vertical-surface correction above the slope
+        # threshold (`legged_robot_config.py:99`, `terrain_utils.py:315-328`)
+        # — raw-unit threshold, None = heightfield semantics (no correction)
+        st = getattr(cfg, "slope_treshold", None)
+        self.slope_threshold_raw = (
+            float(st) * self._hs / self._vs
+            if (cfg.mesh_type == "trimesh" and st is not None)
+            else None
+        )
+
+    @classmethod
+    def from_heightfield(cls, field: np.ndarray, horizontal_scale: float,
+                         vertical_scale: float, border_size: float = 0.0,
+                         slope_threshold: float | None = None):
+        """Build a Terrain around an explicit raw heightfield (tests /
+        tooling): no generators, origins at the field center."""
+        t = cls.__new__(cls)
+        t.cfg = None
+        t.height_field_raw = np.asarray(field, np.int16)
+        t.height_samples = jnp.asarray(t.height_field_raw.astype(np.float32))
+        t._hs = float(horizontal_scale)
+        t._vs = float(vertical_scale)
+        t._border_m = float(border_size)
+        t.env_length = field.shape[0] * horizontal_scale
+        t.env_width = field.shape[1] * horizontal_scale
+        t.slope_threshold_raw = (
+            float(slope_threshold) * t._hs / t._vs
+            if slope_threshold is not None
+            else None
+        )
+        return t
 
     # ------------------------------------------------------------------
     # host-side composition
@@ -203,18 +331,22 @@ class Terrain:
         are edge-padded to a CHUNK multiple plus one spare chunk so any
         TILE-wide window's two covering chunks exist. Built in numpy: the
         cache must stay concrete even when the first extract_tiles call
-        happens inside a jit trace (anything jnp-created there is a tracer)."""
+        happens inside a jit trace (anything jnp-created there is a tracer).
+
+        Chunks are stored **int16** (the generators' native dtype — exact):
+        the gather is the extraction's bandwidth floor, so halving the
+        element size halves it; the f32 convert fuses into the compaction
+        einsum's operand read."""
         w = hs_np.shape[1]
         wp = ((w + self.CHUNK - 1) // self.CHUNK + 1) * self.CHUNK
         pad = np.pad(hs_np, ((0, 0), (0, wp - w)), mode="edge")
-        return pad.reshape(hs_np.shape[0] * (wp // self.CHUNK), self.CHUNK), wp // self.CHUNK
+        chunks = pad.reshape(hs_np.shape[0] * (wp // self.CHUNK), self.CHUNK)
+        return chunks.astype(np.int16), wp // self.CHUNK
 
     @property
     def _hs_chunks(self):
         if getattr(self, "_hs_chunks_cache", None) is None:
-            self._hs_chunks_cache = self._chunked(
-                np.asarray(self.height_field_raw, np.float32)
-            )
+            self._hs_chunks_cache = self._chunked(self.height_field_raw)
         return self._hs_chunks_cache
 
     @property
@@ -223,11 +355,65 @@ class Terrain:
         hs[x,y+1]) precomputed once, so the conservative observation sample
         (legged_robot.py:1258-1274) is a single tap instead of three."""
         if getattr(self, "_hs_min_chunks_cache", None) is None:
-            hs = np.asarray(self.height_field_raw, np.float32)
+            hs = self.height_field_raw
             xp = np.concatenate([hs[1:], hs[-1:]], axis=0)
             yp = np.concatenate([hs[:, 1:], hs[:, -1:]], axis=1)
             self._hs_min_chunks_cache = self._chunked(np.minimum(hs, np.minimum(xp, yp)))
         return self._hs_min_chunks_cache
+
+    @staticmethod
+    def tile_min(tiles: jax.Array) -> jax.Array:
+        """In-tile 3-tap-min derivation: ``min(h[x,y], h[x+1,y], h[x,y+1])``
+        from an already-extracted raw tile — a pure elementwise shift+min,
+        so the observation path shares ONE extraction with the contact path
+        instead of gathering the precomputed min field separately. Exact for
+        every queried cell (lookups clip local indices to TILE-2, so the
+        edge-replicated last row/column is never consumed)."""
+        xp = jnp.concatenate([tiles[:, 1:, :], tiles[:, -1:, :]], axis=1)
+        yp = jnp.concatenate([tiles[:, :, 1:], tiles[:, :, -1:]], axis=2)
+        return jnp.minimum(tiles, jnp.minimum(xp, yp))
+
+    @property
+    def _origin_tiles(self):
+        """Per-grid-cell tiles centered at each cell's env origin:
+        ((R*C, T, T) f32 windows, (R*C,) sx, (R*C,) sy). Reset envs spawn at
+        origin +-1 m (`legged_robot.py:762-769`), so their contact points
+        (reach <= ~0.45 m) stay inside the +-1.6 m cover — the ground-plane
+        refresh can serve just-reset envs from this table instead of a
+        second full extraction at their new centers."""
+        if getattr(self, "_origin_tiles_cache", None) is None:
+            t = self.TILE
+            hs = self.height_field_raw.astype(np.float32)
+            r, c = self.cfg.num_rows, self.cfg.num_cols
+            tiles = np.zeros((r * c, t, t), np.float32)
+            sxs = np.zeros(r * c, np.int32)
+            sys_ = np.zeros(r * c, np.int32)
+            for i in range(r):
+                for j in range(c):
+                    ox, oy = self.env_origins_grid[i, j, :2]
+                    px = int(round((ox + self._border_m) / self._hs))
+                    py = int(round((oy + self._border_m) / self._hs))
+                    sx = int(np.clip(px - t // 2, 0, hs.shape[0] - t))
+                    sy = int(np.clip(py - t // 2, 0, hs.shape[1] - t))
+                    k = i * c + j
+                    tiles[k] = hs[sx : sx + t, sy : sy + t]
+                    sxs[k] = sx
+                    sys_[k] = sy
+            # cached as NUMPY: the first lookup may happen inside a jit
+            # trace, where jnp-created values would be leaked tracers
+            self._origin_tiles_cache = (tiles, sxs, sys_)
+        return self._origin_tiles_cache
+
+    def origin_tile_lookup(self, levels: jax.Array, types: jax.Array):
+        """((N, T, T) tiles, (N,) sx, (N,) sy) for each env's current grid
+        cell — one contiguous 4 KB row gather per env."""
+        tiles, sx, sy = self._origin_tiles
+        k = levels * self.cfg.num_cols + types
+        return (
+            jnp.take(jnp.asarray(tiles), k, axis=0),
+            jnp.take(jnp.asarray(sx), k, axis=0),
+            jnp.take(jnp.asarray(sy), k, axis=0),
+        )
 
     def extract_tiles(self, center_xy: jax.Array, min_tiles: bool = False):
         """(N, 2) world xy -> ((N, T, T) tiles, (N,) sx, (N,) sy).
@@ -252,7 +438,13 @@ class Terrain:
         cy = sy // ck
         rows = sx[:, None] + jnp.arange(t, dtype=jnp.int32)             # (N, T)
         idx = rows[:, :, None] * nc + cy[:, None, None] + jnp.arange(2)[None, None, :]
-        wide = jnp.take(chunks, idx.reshape(-1), axis=0).reshape(n, t, 2 * ck)
+        # int16 chunk gather (half the HBM bytes of f32); the f32 convert
+        # fuses into the compaction einsum's operand read
+        wide = (
+            jnp.take(chunks, idx.reshape(-1), axis=0)
+            .reshape(n, t, 2 * ck)
+            .astype(jnp.float32)
+        )
         # columns [sy - cy*CHUNK, +T) out of the 2*CHUNK lanes
         off = (sy - cy * ck)[:, None, None]                             # (N, 1, 1)
         lane = jnp.arange(2 * ck, dtype=jnp.int32)[None, None, :]
@@ -333,6 +525,84 @@ class Terrain:
         wx = (ix == lx[..., None]).astype(tiles_min.dtype)
         wy = (ix == ly[..., None]).astype(tiles_min.dtype)
         return self._sep_lookup(tiles_min, wx, wy) * self._vs
+
+    # ------------------------------------------------------------------
+    # riser-aware (trimesh-semantics) ground queries
+    # ------------------------------------------------------------------
+
+    @property
+    def _thr(self):
+        return (
+            jnp.inf if self.slope_threshold_raw is None else self.slope_threshold_raw
+        )
+
+    def tile_ground_channels(self, tiles, sx, sy, x: jax.Array, y: jax.Array):
+        """(N, Q) world queries -> (N, Q, 9) riser-aware ground channels
+        (see :func:`riser_channels`) on the MXU tile path: the cell's four
+        corners are four stacked one-hot taps in ONE einsum — and give the
+        analytic in-cell gradient, so no finite-difference epsilon taps."""
+        t = tiles.shape[-1]
+        hs = self.height_samples
+        px = jnp.clip((x + self._border_m) / self._hs, 0.0, hs.shape[0] - 2.0)
+        py = jnp.clip((y + self._border_m) / self._hs, 0.0, hs.shape[1] - 2.0)
+        lx = jnp.clip(px - sx[:, None].astype(px.dtype), 0.0, t - 2.0)
+        ly = jnp.clip(py - sy[:, None].astype(py.dtype), 0.0, t - 2.0)
+        x0 = jnp.floor(lx)
+        y0 = jnp.floor(ly)
+        fx = lx - x0
+        fy = ly - y0
+        ix = jnp.arange(t, dtype=px.dtype)
+
+        def oh(idx):
+            return (ix == idx[..., None]).astype(tiles.dtype)
+
+        xb = jnp.maximum(x0 - 1.0, 0.0)
+        yb = jnp.maximum(y0 - 1.0, 0.0)
+        wx = jnp.concatenate(
+            [oh(x0), oh(x0 + 1.0), oh(x0), oh(x0 + 1.0),
+             oh(xb), oh(xb), oh(x0), oh(x0 + 1.0)], axis=1
+        )
+        wy = jnp.concatenate(
+            [oh(y0), oh(y0), oh(y0 + 1.0), oh(y0 + 1.0),
+             oh(y0), oh(y0 + 1.0), oh(yb), oh(yb)], axis=1
+        )
+        h8 = self._sep_lookup(tiles, wx, wy).reshape(x.shape[0], 8, -1)
+        x0w = (sx[:, None].astype(px.dtype) + x0) * self._hs - self._border_m
+        y0w = (sy[:, None].astype(py.dtype) + y0) * self._hs - self._border_m
+        return riser_channels(
+            h8[:, 0], h8[:, 1], h8[:, 2], h8[:, 3],
+            h8[:, 4], h8[:, 5], h8[:, 6], h8[:, 7],
+            x0w, y0w, fx, fy, self._hs, self._vs, self._thr
+        )
+
+    def ground_channels(self, x: jax.Array, y: jax.Array):
+        """Scattered-gather version of :meth:`tile_ground_channels` (engine
+        path / tests): world queries -> (..., 9) riser-aware channels."""
+        hs = self.height_samples
+        px = jnp.clip((x + self._border_m) / self._hs, 0.0, hs.shape[0] - 2.0)
+        py = jnp.clip((y + self._border_m) / self._hs, 0.0, hs.shape[1] - 2.0)
+        x0 = jnp.floor(px)
+        y0 = jnp.floor(py)
+        fx = px - x0
+        fy = py - y0
+        xi = x0.astype(jnp.int32)
+        yi = y0.astype(jnp.int32)
+        xb = jnp.maximum(xi - 1, 0)
+        yb = jnp.maximum(yi - 1, 0)
+        h00 = hs[xi, yi]
+        h10 = hs[xi + 1, yi]
+        h01 = hs[xi, yi + 1]
+        h11 = hs[xi + 1, yi + 1]
+        hxb0 = hs[xb, yi]
+        hxb1 = hs[xb, yi + 1]
+        hyb0 = hs[xi, yb]
+        hyb1 = hs[xi + 1, yb]
+        x0w = x0 * self._hs - self._border_m
+        y0w = y0 * self._hs - self._border_m
+        return riser_channels(
+            h00, h10, h01, h11, hxb0, hxb1, hyb0, hyb1,
+            x0w, y0w, fx, fy, self._hs, self._vs, self._thr
+        )
 
     def sample_origins(self, key: jax.Array, num_envs: int, cfg):
         """Initial terrain level/type assignment (legged_robot.py:1167-1183)."""
