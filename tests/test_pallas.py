@@ -251,3 +251,98 @@ def test_pallas_post_fk_outputs_match_engine_fk(env):
     np.testing.assert_allclose(
         np.asarray(post_rel), np.asarray(kin.pos_rel[:, pb]), rtol=1e-5, atol=1e-5
     )
+
+
+def test_pallas_trimesh_env_routes_to_walls_kernel():
+    """trimesh mesh_type must route the kernel to local_plane_walls (9
+    ground lanes per point)."""
+    cfg, _ = task_registry.get_cfgs("GR1T1")
+    cfg.env.num_envs = 4
+    cfg.terrain.mesh_type = "trimesh"
+    cfg.terrain.curriculum = True
+    cfg.terrain.num_rows = 3
+    cfg.terrain.num_cols = 4
+    cfg.terrain.border_size = 5
+    cfg.sim.use_pallas = "interpret"
+    env_p, _ = task_registry.make_env("GR1T1", env_cfg=cfg)
+    assert env_p.riser_mode
+    assert env_p._pallas_decimation.deci.sub.terrain_mode == "local_plane_walls"
+    assert env_p._pallas_decimation.plane_lanes == 9
+
+
+def test_pallas_packing_local_plane_walls(env):
+    """9-lane ground channels (trimesh walls mode) through the kernel
+    packing: plane lane layout, per-point unpack, and the point_pos outputs
+    — against ScalarDecimation run directly on lanes. (The wall-force math
+    itself is oracle-tested vs the engine in tests/test_scalarized.py.)"""
+    from wiki_grx_gym_tpu.sim import pallas_step as ps
+
+    n = 8
+    sub = ScalarSubstep(
+        env.model, env.contact_params, env.sim_dt, env.self_pairs,
+        terrain_mode="local_plane_walls",
+    )
+    deci = ScalarDecimation(
+        sub, 2, env.cfg.control.control_type,
+        env.cfg.control.action_scale, np.asarray(env.p_gains),
+        np.asarray(env.d_gains), np.asarray(env.default_dof_pos),
+        np.asarray(env.torque_limits), env.feet_bodies, env.feet_point_groups,
+    )
+    pall = PallasDecimation(deci, interpret=True)
+    assert pall.plane_lanes == 9
+    phys, actions, last_actions, motor, delay, rand = _random_inputs(env, n)
+    # flat tread + an up-riser wall just ahead of the scattered robots
+    chan = np.asarray([0.0, 0.0, 0.0, 0.25, 0.2, 1.0, 0.0, 0.0, 0.0], np.float32)
+    plane = jnp.broadcast_to(jnp.asarray(chan), (n, pall.np_, 9))
+
+    with jax.disable_jit():
+        comp, nb, n_real = pall._pack(
+            phys, actions, last_actions, motor, delay, rand, None, plane=plane
+        )
+        assert nb == 1 and n_real == n
+        in_ref = _FakeRef(comp[:, 0:1].reshape(pall.c_in, 1, ps._SUB, ps._LANE))
+        out_ref = _FakeRef(
+            jnp.zeros((pall.c_out, 1, ps._SUB, ps._LANE), jnp.float32)
+        )
+        pall._kernel(in_ref, out_ref)
+        flat = out_ref.arr.reshape(pall.c_out, ps.ENV_BLOCK)[:, :n]
+
+        def take(name):
+            off, cnt = pall.out_off[name]
+            return flat[off: off + cnt].T
+
+        lanes = state_to_lanes(phys)
+        lanes.update(
+            friction=rand.friction, restitution=rand.restitution,
+            mass_scale=rand.base_mass_scale,
+            com_offset=[rand.base_com_offset[..., k] for k in range(3)],
+            plane=[[plane[:, p, k] for k in range(9)] for p in range(pall.np_)],
+        )
+        want_lanes, acc = deci.run(
+            lanes,
+            [actions[..., i] for i in range(env.num_dof)],
+            [last_actions[..., i] for i in range(env.num_dof)],
+            [motor[..., i] for i in range(env.num_dof)],
+            delay,
+        )
+    want_phys = lanes_to_state(want_lanes, PhysicsState)
+    for name in ("base_pos", "base_quat", "base_lin_vel", "base_ang_vel", "q", "qd", "anchor"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(want_phys, name)),
+            np.asarray(
+                dict(
+                    base_pos=take("pos"), base_quat=take("quat"),
+                    base_lin_vel=take("lin"), base_ang_vel=take("ang"),
+                    q=take("q"), qd=take("qd"),
+                    anchor=take("anchor").reshape(n, pall.np_, 3),
+                )[name]
+            ),
+            rtol=1e-5, atol=1e-6, err_msg=name,
+        )
+    want_pp = np.asarray(
+        jnp.stack([jnp.stack(p, axis=-1) for p in acc["point_pos"]], axis=-2)
+    )
+    np.testing.assert_allclose(
+        np.asarray(take("point_pos").reshape(n, pall.np_, 3)), want_pp,
+        rtol=1e-5, atol=1e-5,
+    )

@@ -139,16 +139,8 @@ def test_tile_lookups_match_global(small_terrain_cfg):
         np.asarray(terrain.measured_heights(x, y)),
         atol=1e-5,
     )
-    # single-tap path on the precomputed 3-tap-min field (the env's
+    # single-tap path on the in-tile derived 3-tap-min tile (the env's
     # observation path) must match the reference formula too
-    tiles_min = terrain.extract_tiles(centers, min_tiles=True)
-    np.testing.assert_allclose(
-        np.asarray(terrain.tile_measured_1tap(*tiles_min, x, y)),
-        np.asarray(terrain.measured_heights(x, y)),
-        atol=1e-5,
-    )
-    # the in-tile derived min (shared-extraction path) must match the
-    # precomputed min field for all queried cells
     raw, sx, sy = tiles
     np.testing.assert_allclose(
         np.asarray(terrain.tile_measured_1tap(terrain.tile_min(raw), sx, sy, x, y)),
@@ -157,19 +149,28 @@ def test_tile_lookups_match_global(small_terrain_cfg):
     )
 
 
-def test_origin_tiles_match_extraction(small_terrain_cfg):
-    """The per-cell origin-tile table must equal a direct extraction at the
-    cell origins (the reset-env ground-plane path)."""
+def test_block_pyramid_tiles_are_field_windows(small_terrain_cfg):
+    """Every extracted tile must be an exact window of the raw field at the
+    returned (sx, sy), and the window must cover >= 1.35 m around any query
+    center (the snap-margin contract of the block pyramid)."""
     terrain = Terrain(small_terrain_cfg.terrain, rng=np.random.RandomState(0))
-    r, c = small_terrain_cfg.terrain.num_rows, small_terrain_cfg.terrain.num_cols
-    levels = jnp.asarray([i for i in range(r) for _ in range(c)], jnp.int32)
-    types = jnp.asarray([j for _ in range(r) for j in range(c)], jnp.int32)
-    centers = terrain.terrain_origins[levels, types][:, :2]
-    t_direct, sx_d, sy_d = terrain.extract_tiles(centers)
-    t_table, sx_t, sy_t = terrain.origin_tile_lookup(levels, types)
-    np.testing.assert_array_equal(np.asarray(sx_t), np.asarray(sx_d))
-    np.testing.assert_array_equal(np.asarray(sy_t), np.asarray(sy_d))
-    np.testing.assert_allclose(np.asarray(t_table), np.asarray(t_direct), atol=1e-5)
+    key = jax.random.PRNGKey(5)
+    centers = jnp.stack([
+        jax.random.uniform(key, (12,), minval=0.5, maxval=23.5),
+        jax.random.uniform(jax.random.fold_in(key, 1), (12,), minval=0.5, maxval=31.5),
+    ], axis=1)
+    tiles, sx, sy = terrain.extract_tiles(centers)
+    hf = np.asarray(terrain.height_field_raw, np.float32)
+    t = terrain.TILE
+    for i in range(12):
+        a, b = int(sx[i]), int(sy[i])
+        np.testing.assert_array_equal(np.asarray(tiles[i]), hf[a : a + t, b : b + t])
+        # coverage: the +-1.35 m reach window sits inside the tile
+        px = float((centers[i, 0] + terrain._border_m) / terrain._hs)
+        py = float((centers[i, 1] + terrain._border_m) / terrain._hs)
+        reach = 1.35 / terrain._hs
+        assert a <= max(px - reach, 0) and min(px + reach, hf.shape[0] - 2) <= a + t - 2
+        assert b <= max(py - reach, 0) and min(py + reach, hf.shape[1] - 2) <= b + t - 2
 
 
 def test_rough_terrain_env_steps(small_terrain_cfg):

@@ -18,6 +18,73 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
+def replay(args):
+    """Animated 3D skeleton replay of a `play.py --record` artifact — the
+    offline counterpart of the reference's live viewer
+    (`envs/base/base_task.py:89-150`): FK over the recorded
+    (base_pos, base_quat, q) trajectory, rendered as a rotating-free 3D
+    line skeleton and saved as a GIF."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wiki_grx_gym_tpu.envs import task_registry
+    from wiki_grx_gym_tpu.sim.kinematics import forward_kinematics
+    from wiki_grx_gym_tpu.utils import maths
+
+    data = np.load(args.replay, allow_pickle=False)
+    task = str(data["task"]) if "task" in data else args.task
+    env_cfg, _ = task_registry.get_cfgs(task)
+    env_cfg.env.num_envs = 1
+    env, _ = task_registry.make_env(task, env_cfg=env_cfg)
+    model = env.model
+    t_steps = data["q"].shape[0]
+    stride = max(1, t_steps // args.frames)
+    idxs = np.arange(0, t_steps, stride)
+
+    frames = []
+    for k in idxs:
+        kin = forward_kinematics(
+            model, jnp.asarray(data["base_quat"][k]), jnp.zeros(3), jnp.zeros(3),
+            jnp.asarray(data["q"][k]), jnp.zeros(model.num_dof),
+        )
+        frames.append(np.asarray(data["base_pos"][k]) + np.asarray(kin.pos_rel))
+    frames = np.stack(frames)   # (F, B, 3)
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib import animation
+
+    fig = plt.figure(figsize=(7, 6))
+    ax = fig.add_subplot(projection="3d")
+    bones = [(model.parent[i], i) for i in range(1, model.num_bodies)]
+    lines = [ax.plot([], [], [], "o-", lw=2, ms=2.5, color="tab:blue")[0] for _ in bones]
+    path, = ax.plot([], [], [], "-", lw=0.8, color="tab:gray")
+    lo = frames.min(axis=(0, 1)) - 0.2
+    hi = frames.max(axis=(0, 1)) + 0.2
+    mid, span = (lo + hi) / 2, float(np.max(hi - lo)) / 2
+    ax.set_xlim(mid[0] - span, mid[0] + span)
+    ax.set_ylim(mid[1] - span, mid[1] + span)
+    ax.set_zlim(0.0, 2 * span)
+    ax.set(xlabel="x [m]", ylabel="y [m]", zlabel="z [m]", title=f"{task} pose replay")
+
+    def draw(f):
+        pts = frames[f]
+        for ln, (p, i) in zip(lines, bones):
+            ln.set_data([pts[p, 0], pts[i, 0]], [pts[p, 1], pts[i, 1]])
+            ln.set_3d_properties([pts[p, 2], pts[i, 2]])
+        path.set_data(frames[: f + 1, 0, 0], frames[: f + 1, 0, 1])
+        path.set_3d_properties(frames[: f + 1, 0, 2])
+        return lines + [path]
+
+    dt = float(data["dt"]) if "dt" in data else 0.02
+    ani = animation.FuncAnimation(fig, draw, frames=len(frames), blit=True)
+    out = args.out if args.out.endswith(".gif") else args.out.rsplit(".", 1)[0] + ".gif"
+    ani.save(out, writer=animation.PillowWriter(fps=max(1, int(round(1.0 / (dt * stride))))))
+    print(f"saved {out} ({len(frames)} frames)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--task", default="GR1T1")
@@ -25,7 +92,16 @@ def main():
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--out", default="trajectory.png")
     ap.add_argument("--command", type=float, nargs=3, default=[0.5, 0.0, 0.0])
+    ap.add_argument("--replay", default=None,
+                    help="a play.py --record traj.npz: render an animated 3D "
+                         "skeleton GIF instead of the trajectory panels")
+    ap.add_argument("--frames", type=int, default=120, help="max GIF frames for --replay")
     args = ap.parse_args()
+
+    if args.replay:
+        if args.out == "trajectory.png":
+            args.out = "replay.gif"
+        return replay(args)
 
     import jax
     import jax.numpy as jnp

@@ -335,7 +335,7 @@ class LeggedEnv:
         per-env body randomizations (`legged_robot.py:538-648`)."""
         c = self.cfg
         n, d = self.num_envs, self.num_dof
-        keys = jax.random.split(key, 10)
+        keys = jax.random.split(key, 12)
 
         dr = c.domain_rand
         if dr.randomize_friction:
@@ -394,7 +394,7 @@ class LeggedEnv:
         )
         state = EnvState(
             physics=zero_phys,
-            rng=key,
+            rng=keys[10],   # distinct from every subkey consumed above
             episode_length=jnp.zeros(n, jnp.int32),
             common_step=jnp.zeros((), jnp.int32),
             commands=jnp.zeros((n, max(3, c.commands.num_commands))),
@@ -424,7 +424,7 @@ class LeggedEnv:
         # curricula do not advance on the initial reset (init_done guard,
         # legged_robot.py:806-808)
         done = jnp.ones(n, bool)
-        state = self._reset_where(state, done, update_curriculum=False)
+        state = self._reset_where(state, done, key=keys[11], update_curriculum=False)
         state = self._refresh_ground_plane(state, done)
         return state
 
@@ -579,21 +579,15 @@ class LeggedEnv:
         gy = (hyp - hym) / (2.0 * eps)
         return jnp.stack([h - gx * x - gy * y, gx, gy], axis=-1)
 
-    def _refresh_ground_plane(self, state: EnvState, reset_mask, point_pos=None,
-                              shared_tiles=None):
+    def _refresh_ground_plane(self, state: EnvState, reset_mask, point_pos=None):
         """Resample the per-point ground planes for the next policy step
         (kernel-over-heightfield path only). Non-reset envs sample at the
         kernel's final-state point positions (exact); just-reset envs at the
         default-pose offsets around their new root (the spawn platform is
         locally flat, so the approximation is benign and self-corrects next
-        step).
-
-        ``shared_tiles`` is the step's one raw-tile extraction, centered at
-        the *pre-reset* base positions — exact for non-reset envs (their
-        base did not move). Just-reset envs moved to their (possibly
-        curriculum-updated) cell origin +-1 m, so their tiles come from the
-        precomputed per-cell origin-tile table instead (a cheap contiguous
-        row gather) — no second full extraction."""
+        step). The tile extraction here is centered at the *post-reset*
+        base positions — a block-pyramid row gather cheap enough to run in
+        addition to the pre-reset extraction the observations use."""
         if self._pallas_mode() is None or self.terrain is None:
             return state
         phys = state.physics
@@ -605,20 +599,7 @@ class LeggedEnv:
             pp = pp_reset
         else:
             pp = jnp.where(reset_mask[:, None, None], pp_reset, point_pos)
-        if shared_tiles is None:
-            # init/reset path: base positions are already post-reset
-            tiles = self.terrain.extract_tiles(phys.base_pos[:, :2])
-        else:
-            raw, sx, sy = shared_tiles
-            if self.custom_origins:
-                o_raw, o_sx, o_sy = self.terrain.origin_tile_lookup(
-                    state.terrain_levels, state.terrain_types
-                )
-                m1 = reset_mask[:, None, None]
-                raw = jnp.where(m1, o_raw, raw)
-                sx = jnp.where(reset_mask, o_sx, sx)
-                sy = jnp.where(reset_mask, o_sy, sy)
-            tiles = (raw, sx, sy)
+        tiles = self.terrain.extract_tiles(phys.base_pos[:, :2])
         return state.replace(ground_plane=self._sample_point_planes(pp, tiles=tiles))
 
     def _run_decimation(self, state: EnvState, actions: jax.Array, delay: jax.Array):
@@ -738,18 +719,8 @@ class LeggedEnv:
         gravity_vec = jnp.asarray([0.0, 0.0, -1.0])
         projected_gravity = maths.quat_rotate_inverse(base_quat, jnp.broadcast_to(gravity_vec, (n, 3)))
 
-        # ONE heightfield tile extraction per policy step, shared between the
-        # measured-heights observation and the kernel-path ground-plane
-        # refresh (each was a full extraction in round 2 — tile extraction
-        # was 4.8 of the 7.9 ms terrain step at 4096 envs)
-        terrain_tiles = (
-            self.terrain.extract_tiles(phys.base_pos[:, :2])
-            if self.terrain is not None
-            else None
-        )
-
         # measured terrain heights around the base (legged_robot.py:1235-1274)
-        measured_heights = self._measured_heights(phys, base_quat, tiles=terrain_tiles)
+        measured_heights = self._measured_heights(phys, base_quat)
         mean_heights = jnp.mean(measured_heights, axis=1)
 
         hscale = c.normalization.obs_scales.height_measurements
@@ -921,9 +892,7 @@ class LeggedEnv:
             feet_land_time=feet_land_time,
         )
         state = self._reset_where(state, reset_buf, key=k_reset, update_curriculum=True)
-        state = self._refresh_ground_plane(
-            state, reset_buf, point_pos=point_pos, shared_tiles=terrain_tiles
-        )
+        state = self._refresh_ground_plane(state, reset_buf, point_pos=point_pos)
 
         # record "last" values (legged_robot.py:299-300 + fftai:94-97);
         # reset envs keep zeros from _reset_where
@@ -1083,10 +1052,9 @@ class LeggedEnv:
 
     def _measured_heights(self, phys, base_quat, tiles=None):
         """Terrain heights at the yaw-rotated measurement grid
-        (legged_robot.py:1235-1274); plane terrain -> zeros. ``tiles`` is the
-        step's shared raw-tile extraction; the conservative 3-tap-min field
-        is derived in-tile (an elementwise shift+min) instead of extracting
-        the precomputed min field separately."""
+        (legged_robot.py:1235-1274); plane terrain -> zeros. The
+        conservative 3-tap-min field is derived in-tile (an elementwise
+        shift+min) from the raw-tile extraction."""
         n = self.num_envs
         if self.terrain is None:
             return jnp.zeros((n, self.num_height_points))
@@ -1261,9 +1229,15 @@ class LeggedEnv:
     # ------------------------------------------------------------------
 
     def reset(self, state: EnvState) -> Tuple[EnvState, StepOutput]:
-        """Reset all envs then step zero actions (base_task.py:117-121)."""
+        """Reset all envs then step zero actions (base_task.py:117-121).
+
+        The reset key is split off ``state.rng`` (reusing ``state.rng``
+        directly would re-draw the same randomizations as the key stream of
+        the preceding step)."""
         n = self.num_envs
-        state = self._reset_where(state, jnp.ones(n, bool))
+        key, k_reset = jax.random.split(state.rng)
+        state = state.replace(rng=key)
+        state = self._reset_where(state, jnp.ones(n, bool), key=k_reset)
         state = self._refresh_ground_plane(state, jnp.ones(n, bool))
         return self.step(state, jnp.zeros((n, self.num_actions)))
 

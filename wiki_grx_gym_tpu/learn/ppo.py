@@ -52,7 +52,7 @@ class PPOState:
 
 class PPO:
     def __init__(self, net: ActorCritic, alg_cfg, extra_loss_fn=None, perm_groups: int = 1,
-                 shuffle_block: int = 16):
+                 shuffle_block: int = 16, flat_optimizer: bool = True):
         """``extra_loss_fn(params, minibatch) -> scalar`` is the extension
         hook the reference exposes as ``calculate_other_loss``
         (ppo.py:289-295,323-324) for imitation/symmetry losses — e.g. a
@@ -114,6 +114,13 @@ class PPO:
         # storing activations: trades ~1/3 more MXU work for zero
         # activation HBM traffic in the update's grad steps
         self.remat_update = bool(getattr(alg_cfg, "remat_update", False))
+        # run clip+Adam over ONE raveled parameter vector instead of the
+        # 10+-leaf pytree: optax maps ~8 elementwise ops per leaf, and those
+        # ~100 launch-bound kernels measured ~60% of each grad step (v5e,
+        # r3 job02: 0.267 ms/step in-scan vs 0.110 ms for the grad math).
+        # The runner disables this on an mp (tensor-parallel) mesh, where
+        # raveling would force XLA to all-gather the TP-sharded params.
+        self.flat_optimizer = bool(flat_optimizer)
 
         self.tx = optax.inject_hyperparams(
             lambda learning_rate: optax.chain(
@@ -123,9 +130,15 @@ class PPO:
         )(learning_rate=self.lr_init)
 
     def init(self, params: ActorCriticParams) -> PPOState:
+        if self.flat_optimizer:
+            from jax.flatten_util import ravel_pytree
+
+            opt_target = ravel_pytree(params)[0]
+        else:
+            opt_target = params
         return PPOState(
             params=params,
-            opt_state=self.tx.init(params),
+            opt_state=self.tx.init(opt_target),
             learning_rate=jnp.asarray(self.lr_init, jnp.float32),
         )
 
@@ -220,34 +233,11 @@ class PPO:
             jnp.where((kl_mean < self.desired_kl / 2.0) & (kl_mean > 0.0), lr_up, lr),
         )
 
-    def update(
-        self, ppo_state: PPOState, batch: Transition, returns, advantages, key
-    ) -> Tuple[PPOState, Dict[str, jax.Array]]:
-        """Epochs x minibatches over the flattened (T*N) batch as one scan.
-
-        Shuffle strategy (v5e trace-driven, see git history):
-
-        - The shuffle unit is a *block* of ``shuffle_block`` consecutive
-          envs at one timestep — contiguous in the scan-native (T, N, feat)
-          rollout storage, so a block row moves as one ~15 KB DMA.
-          Per-sample permutation made XLA gather scalar fields 4 bytes at a
-          time (the single most expensive op of the iteration);
-          ``shuffle_block=1`` recovers those exact reference semantics.
-        - ONE permutation per update, reused by every epoch — exactly
-          `base_storage.py:169` (the generator draws once; epochs iterate
-          the same partition). This lets the whole batch be shuffled ONCE
-          up front (a single big gather), after which every minibatch of
-          every epoch is a contiguous slice: the per-minibatch
-          gather/reshape/layout-copy chain (~12 ms/iteration at 4096 envs)
-          disappears from the 200-step update scan.
-        - The permutation is group-local (``perm_groups`` = dp mesh size):
-          the gather indexes an unsharded axis, so on a dp mesh the update
-          does zero cross-device traffic besides the gradient all-reduce.
-        - Fields are packed into two buffers: the wide matmul inputs
-          (obs/critic_obs) in ``storage_dtype`` (bf16 by default —
-          bit-identical on TPU, where XLA's default f32 matmul truncates
-          operands to bf16 anyway; measured param delta exactly 0.0), and
-          the ratio/KL-critical scalars in f32."""
+    def _pack_shuffle(self, batch: Transition, returns, advantages, key):
+        """Pack the nine rollout fields into two (G, MB, rows, F) buffers
+        (wide matmul inputs in ``storage_dtype``, ratio/KL-critical scalars
+        in f32), shuffled ONCE by the update's single block permutation so
+        every minibatch of every epoch is a contiguous slice."""
         t, n = batch.rewards.shape
         g = self.perm_groups
         assert n % g == 0, f"num_envs {n} not divisible by perm_groups {g}"
@@ -281,7 +271,6 @@ class PPO:
             ("returns", feat(returns)),
             ("advantages", feat(advantages)),
         ]
-        squeeze = {"log_prob", "values", "returns", "advantages"}  # (T, N) scalars
 
         # one group-local permutation per update (base_storage.py:169)
         perm = jax.random.permutation(key, n_blocks)[:used]
@@ -291,7 +280,7 @@ class PPO:
             offs = [0]
             for sz in sizes:
                 offs.append(offs[-1] + sz)
-            p = jnp.concatenate([x for _, x in fields], axis=-1).astype(dtype)
+            p = jnp.concatenate([x.astype(dtype) for _, x in fields], axis=-1)
             # (T, N, F) -> (G, n_blocks, B*F); the g<->t transpose is local
             # on a dp mesh (g is the sharded axis)
             p = p.reshape(t, g, nb_t, b * offs[-1])
@@ -302,16 +291,54 @@ class PPO:
 
         shuf_w, offs_w, sizes_w = pack_shuffle(wide_fields, self.storage_dtype)
         shuf_f, offs_f, sizes_f = pack_shuffle(f32_fields, jnp.float32)
+        return (
+            shuf_w, offs_w, sizes_w, shuf_f, offs_f, sizes_f,
+            [nm for nm, _ in wide_fields], [nm for nm, _ in f32_fields],
+            g, rows_per_mb,
+        )
+
+    def update(
+        self, ppo_state: PPOState, batch: Transition, returns, advantages, key
+    ) -> Tuple[PPOState, Dict[str, jax.Array]]:
+        """Epochs x minibatches over the flattened (T*N) batch as one scan.
+
+        Shuffle strategy (v5e trace-driven, see git history):
+
+        - The shuffle unit is a *block* of ``shuffle_block`` consecutive
+          envs at one timestep — contiguous in the scan-native (T, N, feat)
+          rollout storage, so a block row moves as one ~15 KB DMA.
+          Per-sample permutation made XLA gather scalar fields 4 bytes at a
+          time (the single most expensive op of the iteration);
+          ``shuffle_block=1`` recovers those exact reference semantics.
+        - ONE permutation per update, reused by every epoch — exactly
+          `base_storage.py:169` (the generator draws once; epochs iterate
+          the same partition). This lets the whole batch be shuffled ONCE
+          up front (a single big gather), after which every minibatch of
+          every epoch is a contiguous slice: the per-minibatch
+          gather/reshape/layout-copy chain (~12 ms/iteration at 4096 envs)
+          disappears from the 200-step update scan.
+        - The permutation is group-local (``perm_groups`` = dp mesh size):
+          the gather indexes an unsharded axis, so on a dp mesh the update
+          does zero cross-device traffic besides the gradient all-reduce.
+        - Fields are packed into two buffers: the wide matmul inputs
+          (obs/critic_obs) in ``storage_dtype`` (bf16 by default —
+          bit-identical on TPU, where XLA's default f32 matmul truncates
+          operands to bf16 anyway; measured param delta exactly 0.0), and
+          the ratio/KL-critical scalars in f32."""
+        shuf_w, offs_w, sizes_w, shuf_f, offs_f, sizes_f, names_w, names_f, g, rows_per_mb = (
+            self._pack_shuffle(batch, returns, advantages, key)
+        )
+        squeeze = {"log_prob", "values", "returns", "advantages"}  # (T, N) scalars
 
         def get_mb(i):
             mb = {}
-            for shuf, fields, offs, sizes in (
-                (shuf_w, wide_fields, offs_w, sizes_w),
-                (shuf_f, f32_fields, offs_f, sizes_f),
+            for shuf, names, offs, sizes in (
+                (shuf_w, names_w, offs_w, sizes_w),
+                (shuf_f, names_f, offs_f, sizes_f),
             ):
                 x = jax.lax.dynamic_index_in_dim(shuf, i, axis=1, keepdims=False)
                 flat = x.reshape(g * rows_per_mb, offs[-1]).astype(jnp.float32)
-                for (name, _), o, s in zip(fields, offs, sizes):
+                for name, o, s in zip(names, offs, sizes):
                     v = jax.lax.slice_in_dim(flat, o, o + s, axis=1)
                     mb[name] = v[:, 0] if name in squeeze else v
             return mb
@@ -329,8 +356,22 @@ class PPO:
     def _run_epochs(self, ppo_state: PPOState, perms, get_mb, loss_fn):
         """Shared epochs-x-minibatches scan: grads, adaptive-KL LR, NaN skip,
         clip + Adam (ppo.py:215-309). ``get_mb(idx)`` materializes one
-        minibatch from a permutation row."""
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        minibatch from a permutation row.
+
+        With ``flat_optimizer`` the scan carries ONE raveled parameter
+        vector: the loss unravels it (free slices/reshapes under XLA) and
+        clip+Adam run as a handful of whole-vector ops instead of ~8 ops per
+        pytree leaf — the per-step launch overhead was ~60% of each grad
+        step (r3 job02)."""
+        if self.flat_optimizer:
+            from jax.flatten_util import ravel_pytree
+
+            p0, unravel = ravel_pytree(ppo_state.params)
+            wrapped_loss = lambda fp, mb, lr: loss_fn(unravel(fp), mb, lr)
+        else:
+            p0, unravel = ppo_state.params, lambda p: p
+            wrapped_loss = loss_fn
+        grad_fn = jax.value_and_grad(wrapped_loss, has_aux=True)
 
         def mb_step(carry, idx):
             params, opt_state, lr = carry
@@ -354,13 +395,13 @@ class PPO:
             }
             return (params, opt_state, lr), metrics
 
-        (params, opt_state, lr), metrics = jax.lax.scan(
-            mb_step, (ppo_state.params, ppo_state.opt_state, ppo_state.learning_rate), perms
+        (p_final, opt_state, lr), metrics = jax.lax.scan(
+            mb_step, (p0, ppo_state.opt_state, ppo_state.learning_rate), perms
         )
         mean_metrics = jax.tree.map(jnp.mean, metrics)
         mean_metrics["lr"] = lr
         return (
-            PPOState(params=params, opt_state=opt_state, learning_rate=lr),
+            PPOState(params=unravel(p_final), opt_state=opt_state, learning_rate=lr),
             mean_metrics,
         )
 

@@ -74,15 +74,14 @@ class OnPolicyRunner:
         # (on_policy_runner.py:161-167; completed in learn/symmetry.py)
         extra_loss_fn = None
         symmetry_coef = float(getattr(self.alg_cfg, "symmetry_coef", 0.0))
-        if symmetry_coef > 0.0 and self.recurrent:
-            raise NotImplementedError(
-                "mirror symmetry for recurrent policies would need mirrored "
-                "hidden states; use symmetry_coef=0 with rnn_type"
-            )
         if symmetry_coef > 0.0:
-            from wiki_grx_gym_tpu.learn.symmetry import make_mirror_loss
+            from wiki_grx_gym_tpu.learn.symmetry import (
+                make_mirror_loss,
+                make_mirror_loss_recurrent,
+            )
 
-            extra_loss_fn = make_mirror_loss(env, self.net, symmetry_coef)
+            make = make_mirror_loss_recurrent if self.recurrent else make_mirror_loss
+            extra_loss_fn = make(env, self.net, symmetry_coef)
         # minibatch-shuffle locality: defaults to the dp mesh size so the
         # update's gathers never cross devices (see PPO docstring); an
         # explicit algorithm.permutation_groups pins it (e.g. to compare a
@@ -94,8 +93,11 @@ class OnPolicyRunner:
             else:
                 pg = 1
         shuffle_block = int(getattr(self.alg_cfg, "shuffle_block", 16) or 16)
+        # flat (raveled) clip+Adam except under tensor parallelism, where
+        # raveling would all-gather the mp-sharded params every step
+        flat_opt = mesh is None or "mp" not in mesh.axis_names or mesh.shape["mp"] == 1
         self.alg = PPO(self.net, self.alg_cfg, extra_loss_fn=extra_loss_fn, perm_groups=pg,
-                       shuffle_block=shuffle_block)
+                       shuffle_block=shuffle_block, flat_optimizer=flat_opt)
 
         # a task with no active reward terms trains on pure noise — this
         # bit silently in a 2000-iteration full-body run (the reference's

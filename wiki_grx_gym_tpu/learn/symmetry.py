@@ -151,3 +151,29 @@ def make_mirror_loss(env, net, coef: float):
         return coef * jnp.mean(jnp.square(mean_of_mirror - mirror_of_mean))
 
     return loss_fn
+
+
+def make_mirror_loss_recurrent(env, net, coef: float):
+    """Recurrent-policy mirror loss over the trajectory minibatch.
+
+    The LSTM memory after a mirrored input prefix is exactly the "mirrored
+    hidden state" — there is no operator on the hidden vector itself, the
+    state is *defined* by replaying mirrored inputs. So the loss compares
+    the seq-to-seq policy from a ZERO initial state on (obs, mirrored obs):
+    if the map is equivariant from the zero state, every reachable
+    mirrored-prefix state preserves equivariance by induction. (Using the
+    rollout's ``hidden0`` for the original branch would compare policies
+    conditioned on *different* histories — not a symmetry residual.)"""
+    spec = build_mirror_spec(env)
+    coef = float(coef)
+
+    def loss_fn(params, mb):
+        obs, done_prev = mb["obs"], mb["done_prev"]
+        zero = net.initial_hidden(obs.shape[1])
+        mean = net.action_mean_seq(params, obs, done_prev, zero)
+        mean_of_mirror = net.action_mean_seq(
+            params, mirror_obs(spec, obs), done_prev, zero
+        )
+        return coef * jnp.mean(jnp.square(mean_of_mirror - mirror_actions(spec, mean)))
+
+    return loss_fn

@@ -74,10 +74,17 @@ def play(args, num_steps: int = 500, export: bool = True):
     knees = [i for i, nm in enumerate(env.model.dof_names) if "knee" in nm]
     joint_index = knees[0] if knees else min(1, env.num_dof - 1)
 
+    record = bool(getattr(args, "record", False))
+    traj = {"base_pos": [], "base_quat": [], "q": []} if record else None
+
     for i in range(num_steps):
         actions = policy(obs)
         env_state, out = step(env_state, actions)
         obs = out.obs
+        if record:
+            traj["base_pos"].append(np.asarray(env_state.physics.base_pos[robot_index]))
+            traj["base_quat"].append(np.asarray(env_state.physics.base_quat[robot_index]))
+            traj["q"].append(np.asarray(env_state.physics.q[robot_index]))
         # base velocities / contact forces come from the named eval channels
         # in extras — the counterparts of env.base_lin_vel / env.contact_forces
         # the reference logger reads (play.py:120-125)
@@ -103,6 +110,21 @@ def play(args, num_steps: int = 500, export: bool = True):
         logger.log_rewards({"rew_total": float(out.rew[robot_index])}, int(out.reset.sum()))
     logger.print_rewards()
     logger.save_plots(os.path.join(resume_root, "eval_plots.png"))
+    if record:
+        # replayable pose artifact: animate with
+        #   python tools/visualize.py --task <task> --replay <traj.npz>
+        # (the offline stand-in for the reference's live viewer,
+        # base_task.py:89-150)
+        traj_path = os.path.join(resume_root, "traj.npz")
+        np.savez(
+            traj_path,
+            base_pos=np.stack(traj["base_pos"]),
+            base_quat=np.stack(traj["base_quat"]),
+            q=np.stack(traj["q"]),
+            dt=np.float32(env.dt),
+            task=np.str_(args.task),
+        )
+        print(f"Recorded {num_steps}-step trajectory to {traj_path}")
     return logger
 
 

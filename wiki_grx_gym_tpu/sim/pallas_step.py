@@ -151,7 +151,8 @@ class PallasDecimation:
         }
         if self.with_plane:
             plane_flat = g(in_ref, "plane")
-            state["plane"] = [plane_flat[3 * p: 3 * p + 3] for p in range(np_)]
+            pl = self.plane_lanes
+            state["plane"] = [plane_flat[pl * p: pl * p + pl] for p in range(np_)]
         actions = g(in_ref, "actions")
         last_actions = g(in_ref, "last_actions")
         motor = g(in_ref, "motor")

@@ -711,7 +711,7 @@ class ScalarDecimation:
             "tau": taus,
             "point_force": aux["point_force"],
         }
-        if self.post_bodies or self.sub.terrain_mode == "local_plane":
+        if self.post_bodies or self.sub.terrain_mode in ("local_plane", "local_plane_walls"):
             # FK of the *final* (post-integration) state — exactly what
             # legged_env.step recomputes post-physics (legged_env.py:568)
             quats, pos_rel, _, _ = self.sub.fk(state)
@@ -720,7 +720,7 @@ class ScalarDecimation:
             if self.post_bodies:
                 acc["post_quat"] = [[lane(c) for c in quats[b]] for b in self.post_bodies]
                 acc["post_rel"] = [[lane(c) for c in pos_rel[b]] for b in self.post_bodies]
-            if self.sub.terrain_mode == "local_plane":
+            if self.sub.terrain_mode in ("local_plane", "local_plane_walls"):
                 # final-state contact-point world positions: where the env
                 # resamples the per-point ground planes for the next step
                 pp = []

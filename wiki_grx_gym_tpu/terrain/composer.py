@@ -320,139 +320,84 @@ class Terrain:
     # f32) while the queries stay inside the tile: +-1.6 m around the
     # tile center at 0.1 m resolution, vs a <=1.3 m robot reach.
 
-    # TILE covers +-TILE/2 * 0.1 m = +-1.6 m around the rounded base center;
-    # worst-case query reach is ~1.35 m (contact spheres of a toppling robot
-    # + the 0.05 m gradient eps; the yaw-rotated measurement grid is 0.71 m)
-    TILE = 32
-    CHUNK = 128  # lane width of one gathered row segment
-
-    def _chunked(self, hs_np: np.ndarray):
-        """(H, W) field -> ((H * Wp/128, 128) lane chunks, Wp/128). Columns
-        are edge-padded to a CHUNK multiple plus one spare chunk so any
-        TILE-wide window's two covering chunks exist. Built in numpy: the
-        cache must stay concrete even when the first extract_tiles call
-        happens inside a jit trace (anything jnp-created there is a tracer).
-
-        Chunks are stored **int16** (the generators' native dtype — exact):
-        the gather is the extraction's bandwidth floor, so halving the
-        element size halves it; the f32 convert fuses into the compaction
-        einsum's operand read."""
-        w = hs_np.shape[1]
-        wp = ((w + self.CHUNK - 1) // self.CHUNK + 1) * self.CHUNK
-        pad = np.pad(hs_np, ((0, 0), (0, wp - w)), mode="edge")
-        chunks = pad.reshape(hs_np.shape[0] * (wp // self.CHUNK), self.CHUNK)
-        return chunks.astype(np.int16), wp // self.CHUNK
+    # TILE covers +-TILE/2 * 0.1 m = +-2.4 m around the block corner;
+    # centers snap to the BSTRIDE grid (<= 1.6 m), leaving >= 1.6 m of
+    # effective reach — worst-case query reach is ~1.35 m (contact spheres
+    # of a toppling robot + the 0.05 m gradient eps; the yaw-rotated
+    # measurement grid is 0.71 m)
+    TILE = 48
+    BSTRIDE = 16  # block-grid stride in cells (1.6 m at 0.1 m resolution)
 
     @property
-    def _hs_chunks(self):
-        if getattr(self, "_hs_chunks_cache", None) is None:
-            self._hs_chunks_cache = self._chunked(self.height_field_raw)
-        return self._hs_chunks_cache
+    def _block_pyramid(self):
+        """Precomputed overlapping TILE x TILE windows on a BSTRIDE grid:
+        ((nbx*nby, TILE*TILE) int16 rows, (nbx,) sx, (nby,) sy, nby).
 
-    @property
-    def _hs_min_chunks(self):
-        """Chunked 3-tap-min field: hs_min[x, y] = min(hs[x,y], hs[x+1,y],
-        hs[x,y+1]) precomputed once, so the conservative observation sample
-        (legged_robot.py:1258-1274) is a single tap instead of three."""
-        if getattr(self, "_hs_min_chunks_cache", None) is None:
+        Per-env tile extraction becomes ONE contiguous-row gather
+        (TILE*TILE*2 = 4.6 KB per env) instead of a TILE-row chunk gather +
+        one-hot column compaction — which measured 2.2 ms of the 4.7 ms
+        terrain policy step at 4096 envs (r3 job02). Storage is
+        TILE^2/BSTRIDE^2 = 9x the int16 field (~50 MB for the default
+        10x20-cell curriculum grid).
+
+        Cached as NUMPY (a first use inside a jit trace must not capture
+        tracers)."""
+        if getattr(self, "_block_pyramid_cache", None) is None:
+            t, s = self.TILE, self.BSTRIDE
             hs = self.height_field_raw
-            xp = np.concatenate([hs[1:], hs[-1:]], axis=0)
-            yp = np.concatenate([hs[:, 1:], hs[:, -1:]], axis=1)
-            self._hs_min_chunks_cache = self._chunked(np.minimum(hs, np.minimum(xp, yp)))
-        return self._hs_min_chunks_cache
+            hp = np.pad(
+                hs,
+                ((0, max(t - hs.shape[0], 0)), (0, max(t - hs.shape[1], 0))),
+                mode="edge",
+            )
+            h, w = hp.shape
+            nbx = (h + s - 1) // s
+            nby = (w + s - 1) // s
+            sxs = np.clip(np.arange(nbx) * s - (t - s) // 2, 0, h - t)
+            sys_ = np.clip(np.arange(nby) * s - (t - s) // 2, 0, w - t)
+            blocks = np.empty((nbx * nby, t * t), np.int16)
+            for i, sx in enumerate(sxs):
+                for j, sy in enumerate(sys_):
+                    blocks[i * nby + j] = hp[sx : sx + t, sy : sy + t].ravel()
+            self._block_pyramid_cache = (
+                blocks, sxs.astype(np.int32), sys_.astype(np.int32), nby,
+            )
+        return self._block_pyramid_cache
 
     @staticmethod
     def tile_min(tiles: jax.Array) -> jax.Array:
         """In-tile 3-tap-min derivation: ``min(h[x,y], h[x+1,y], h[x,y+1])``
         from an already-extracted raw tile — a pure elementwise shift+min,
         so the observation path shares ONE extraction with the contact path
-        instead of gathering the precomputed min field separately. Exact for
+        instead of gathering a precomputed min field separately. Exact for
         every queried cell (lookups clip local indices to TILE-2, so the
         edge-replicated last row/column is never consumed)."""
         xp = jnp.concatenate([tiles[:, 1:, :], tiles[:, -1:, :]], axis=1)
         yp = jnp.concatenate([tiles[:, :, 1:], tiles[:, :, -1:]], axis=2)
         return jnp.minimum(tiles, jnp.minimum(xp, yp))
 
-    @property
-    def _origin_tiles(self):
-        """Per-grid-cell tiles centered at each cell's env origin:
-        ((R*C, T, T) f32 windows, (R*C,) sx, (R*C,) sy). Reset envs spawn at
-        origin +-1 m (`legged_robot.py:762-769`), so their contact points
-        (reach <= ~0.45 m) stay inside the +-1.6 m cover — the ground-plane
-        refresh can serve just-reset envs from this table instead of a
-        second full extraction at their new centers."""
-        if getattr(self, "_origin_tiles_cache", None) is None:
-            t = self.TILE
-            hs = self.height_field_raw.astype(np.float32)
-            r, c = self.cfg.num_rows, self.cfg.num_cols
-            tiles = np.zeros((r * c, t, t), np.float32)
-            sxs = np.zeros(r * c, np.int32)
-            sys_ = np.zeros(r * c, np.int32)
-            for i in range(r):
-                for j in range(c):
-                    ox, oy = self.env_origins_grid[i, j, :2]
-                    px = int(round((ox + self._border_m) / self._hs))
-                    py = int(round((oy + self._border_m) / self._hs))
-                    sx = int(np.clip(px - t // 2, 0, hs.shape[0] - t))
-                    sy = int(np.clip(py - t // 2, 0, hs.shape[1] - t))
-                    k = i * c + j
-                    tiles[k] = hs[sx : sx + t, sy : sy + t]
-                    sxs[k] = sx
-                    sys_[k] = sy
-            # cached as NUMPY: the first lookup may happen inside a jit
-            # trace, where jnp-created values would be leaked tracers
-            self._origin_tiles_cache = (tiles, sxs, sys_)
-        return self._origin_tiles_cache
+    def extract_tiles(self, center_xy: jax.Array):
+        """(N, 2) world xy -> ((N, T, T) f32 tiles, (N,) sx, (N,) sy).
 
-    def origin_tile_lookup(self, levels: jax.Array, types: jax.Array):
-        """((N, T, T) tiles, (N,) sx, (N,) sy) for each env's current grid
-        cell — one contiguous 4 KB row gather per env."""
-        tiles, sx, sy = self._origin_tiles
-        k = levels * self.cfg.num_cols + types
-        return (
-            jnp.take(jnp.asarray(tiles), k, axis=0),
-            jnp.take(jnp.asarray(sx), k, axis=0),
-            jnp.take(jnp.asarray(sy), k, axis=0),
-        )
-
-    def extract_tiles(self, center_xy: jax.Array, min_tiles: bool = False):
-        """(N, 2) world xy -> ((N, T, T) tiles, (N,) sx, (N,) sy).
-        ``min_tiles`` extracts from the precomputed 3-tap-min field
-        (for :meth:`tile_measured_1tap`) instead of the raw heightfield.
-
-        vmapped ``dynamic_slice`` lowered to scattered per-element gathers
-        (6.3 ms of the 13.9 ms terrain policy step at 4096 envs, r2 job24).
-        Instead: gather the T x 2 CHUNK-aligned row segments covering each
-        window — each a contiguous 512 B row of ``_hs_chunks`` — then
-        compact the T wanted columns out of the 2*CHUNK lanes with a
-        per-env one-hot einsum on the MXU. Exact (one-hot selection of
-        exact cell values; f32 accumulate)."""
-        hs = self.height_samples
-        t, ck = self.TILE, self.CHUNK
+        History of this hot path (4096 envs, v5e): vmapped ``dynamic_slice``
+        lowered to scattered per-element gathers (6.3 ms, r2 job24); the
+        chunked row gather + one-hot column compaction brought it to 2.2 ms
+        (r2 job25/r3 job02); the block pyramid makes it ONE contiguous-row
+        gather of 4.6 KB per env (~HBM speed) + an elementwise int16->f32
+        convert."""
+        blocks, sxs, sys_, nby = self._block_pyramid
+        t, s = self.TILE, self.BSTRIDE
         n = center_xy.shape[0]
         px = (center_xy[:, 0] + self._border_m) / self._hs
         py = (center_xy[:, 1] + self._border_m) / self._hs
-        sx = jnp.clip(jnp.round(px).astype(jnp.int32) - t // 2, 0, hs.shape[0] - t)
-        sy = jnp.clip(jnp.round(py).astype(jnp.int32) - t // 2, 0, hs.shape[1] - t)
-        chunks, nc = self._hs_min_chunks if min_tiles else self._hs_chunks
-        cy = sy // ck
-        rows = sx[:, None] + jnp.arange(t, dtype=jnp.int32)             # (N, T)
-        idx = rows[:, :, None] * nc + cy[:, None, None] + jnp.arange(2)[None, None, :]
-        # int16 chunk gather (half the HBM bytes of f32); the f32 convert
-        # fuses into the compaction einsum's operand read
-        wide = (
-            jnp.take(chunks, idx.reshape(-1), axis=0)
-            .reshape(n, t, 2 * ck)
+        bx = jnp.clip((px / s).astype(jnp.int32), 0, len(sxs) - 1)
+        by = jnp.clip((py / s).astype(jnp.int32), 0, len(sys_) - 1)
+        tiles = (
+            jnp.take(jnp.asarray(blocks), bx * nby + by, axis=0)
+            .reshape(n, t, t)
             .astype(jnp.float32)
         )
-        # columns [sy - cy*CHUNK, +T) out of the 2*CHUNK lanes
-        off = (sy - cy * ck)[:, None, None]                             # (N, 1, 1)
-        lane = jnp.arange(2 * ck, dtype=jnp.int32)[None, None, :]
-        sel = (lane == off + jnp.arange(t, dtype=jnp.int32)[None, :, None]).astype(wide.dtype)
-        tiles = jnp.einsum(
-            "nku,ntu->ntk", sel, wide, precision=jax.lax.Precision.HIGHEST
-        )
-        return tiles, sx, sy
+        return tiles, jnp.asarray(sxs)[bx], jnp.asarray(sys_)[by]
 
     @staticmethod
     def _sep_lookup(tiles, wx, wy):
@@ -506,11 +451,10 @@ class Terrain:
         return jnp.min(h3, axis=1) * self._vs
 
     def tile_measured_1tap(self, tiles_min, sx, sy, x: jax.Array, y: jax.Array):
-        """== ``measured_heights`` in-tile, as ONE tap on a tile extracted
-        from the precomputed 3-tap-min field (``extract_tiles(...,
-        min_tiles=True)``) — one-hots a third the size of
-        :meth:`tile_measured`'s (2.2 ms of the 7.9 ms terrain policy step
-        at 4096 envs, r2 job24/job25)."""
+        """== ``measured_heights`` in-tile, as ONE tap on an in-tile
+        3-tap-min derived tile (:meth:`tile_min`) — one-hots a third the
+        size of :meth:`tile_measured`'s (2.2 ms of the 7.9 ms terrain
+        policy step at 4096 envs, r2 job24/job25)."""
         t = tiles_min.shape[-1]
         hs = self.height_samples
         px = jnp.clip(

@@ -27,6 +27,9 @@ def get_args(argv=None):
     parser.add_argument("--num_mp", type=int, default=1, help="tensor-parallel mesh size")
     parser.add_argument("--distributed", action="store_true", default=False,
                         help="initialize jax.distributed (multi-host)")
+    parser.add_argument("--record", action="store_true", default=False,
+                        help="play.py: dump a replayable trajectory artifact "
+                             "(traj.npz; animate with tools/visualize.py --replay)")
     return parser.parse_args(argv)
 
 
