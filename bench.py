@@ -38,6 +38,12 @@ def flops_per_iteration(env, runner):
     pcfg = runner.policy_cfg
     actor = _mlp_flops([env.obs_dim] + list(pcfg.actor_hidden_dims) + [env.num_actions])
     critic = _mlp_flops([env.pri_obs_dim] + list(pcfg.critic_hidden_dims) + [1])
+    if getattr(pcfg, "rnn_type", None):  # LSTM memory ahead of each head
+        h, nl = pcfg.rnn_hidden_size, pcfg.rnn_num_layers
+        cell = 2 * 4 * h * (env.obs_dim + h) + (nl - 1) * 2 * 4 * h * (2 * h)
+        cell_c = 2 * 4 * h * (env.pri_obs_dim + h) + (nl - 1) * 2 * 4 * h * (2 * h)
+        actor += cell
+        critic += cell_c
     rollout = t * n * (actor + 2 * critic)   # act + evaluate + last_values amortized
     alg = runner.alg
     samples = alg.num_learning_epochs * (t * n)
@@ -60,20 +66,24 @@ def time_fn(fn, *args, iters, warmup=2):
     return (time.perf_counter() - t0) / iters
 
 
-def bench_config(num_envs, iters, subset=False, platform="tpu"):
+def bench_config(num_envs, iters, subset=False, platform="tpu", task="GR1T1",
+                 mesh_type=None):
     import jax
 
     from wiki_grx_gym_tpu.envs import task_registry
 
-    env_cfg, train_cfg = task_registry.get_cfgs("GR1T1")
+    env_cfg, train_cfg = task_registry.get_cfgs(task)
     env_cfg.env.num_envs = num_envs
+    if mesh_type is not None:
+        env_cfg.terrain.mesh_type = mesh_type
+        env_cfg.terrain.curriculum = True
     if subset:
         # reference-equivalent-or-better contact subset: viscous friction,
         # no self-collision (PhysX defaults exceeded by the full config)
         env_cfg.sim.contact_tangent_stiffness = 0.0
         env_cfg.asset.self_collisions = -1
-    env, _ = task_registry.make_env("GR1T1", env_cfg=env_cfg)
-    runner, _ = task_registry.make_alg_runner(env, "GR1T1", train_cfg=train_cfg, log_root=None)
+    env, _ = task_registry.make_env(task, env_cfg=env_cfg)
+    runner, _ = task_registry.make_alg_runner(env, task, train_cfg=train_cfg, log_root=None)
 
     state = runner.init_state(init_at_random_ep_len=True)
 
@@ -126,8 +136,16 @@ def main():
         "main": main_r,
     }
     if on_tpu:
-        breakdown["envs8192"] = bench_config(8192, max(iters // 2, 10))
-        breakdown["ref_equiv_subset"] = bench_config(n_main, max(iters // 2, 10), subset=True)
+        half = max(iters // 2, 10)
+        breakdown["envs8192"] = bench_config(8192, half)
+        breakdown["ref_equiv_subset"] = bench_config(n_main, half, subset=True)
+        # terrain modes (the reference's marquee curriculum path +
+        # the trimesh stair-riser semantics, terrain_utils.py:286-361)
+        breakdown["heightfield"] = bench_config(n_main, half, mesh_type="heightfield")
+        breakdown["trimesh"] = bench_config(n_main, half, mesh_type="trimesh")
+        # model-family matrix: 32-DOF full body + recurrent policy
+        breakdown["full_body"] = bench_config(n_main, half, task="GR1T1_full")
+        breakdown["lstm"] = bench_config(n_main, half, task="GR1T1_lstm")
 
     fps = main_r["fps"]
     print(

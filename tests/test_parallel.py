@@ -27,6 +27,11 @@ def _make(n_envs, mesh=None, perm_groups=0, steps=4):
     train_cfg.algorithm.num_mini_batches = 2
     train_cfg.algorithm.num_learning_epochs = 1
     train_cfg.algorithm.permutation_groups = perm_groups
+    # f32 update keeps the equivalence tolerances sharp: with the default
+    # bf16 activations, dp1-vs-dp8 reduction-order differences round
+    # differently and drift past the f32-calibrated atol — dtype noise,
+    # not sharding corruption, which is what these tests are for
+    train_cfg.algorithm.update_dtype = "float32"
     env, _ = task_registry.make_env("GR1T1", env_cfg=env_cfg)
     runner = OnPolicyRunner(env, train_cfg, log_dir=None, mesh=mesh)
     return env, runner

@@ -380,3 +380,130 @@ def test_local_plane_walls_contact_matches_engine_on_step(env):
             np.asarray(getattr(got, name)), np.asarray(getattr(want, name)),
             rtol=2e-4, atol=2e-5, err_msg=name,
         )
+
+
+def _point_world(env, phys):
+    from wiki_grx_gym_tpu.sim.kinematics import forward_kinematics
+    from wiki_grx_gym_tpu.utils import maths
+
+    kin = jax.vmap(forward_kinematics, in_axes=(None, 0, 0, 0, 0, 0))(
+        env.model, phys.base_quat, phys.base_ang_vel, phys.base_lin_vel, phys.q, phys.qd
+    )
+    n = phys.q.shape[0]
+    pb = jnp.asarray(env.model.point_body, jnp.int32)
+    rel = kin.pos_rel[:, pb] + maths.quat_apply(
+        kin.quat[:, pb], jnp.broadcast_to(env.model.point_offset, (n,) + env.model.point_offset.shape)
+    )
+    return phys.base_pos[:, None, :] + rel
+
+
+def _stairs_error_rollout(env, base_x, seed, substeps=4):
+    """Engine-vs-local_plane rollout on a bilinear stairs heightfield.
+
+    Returns (engine_final, scalar_final, max_point_travel_m). The planes are
+    the env's exact semantics (5-tap central differences, eps=0.05) frozen at
+    the initial point positions — the state the kernel is in right after a
+    `_refresh_ground_plane`."""
+    n = 8
+    hs, rise, tread_cells = 0.1, 0.15, 8   # 0.8 m treads, 0.15 m risers
+    nx = 64
+    heights = jnp.asarray(
+        np.repeat(np.arange(nx // tread_cells) * rise, tread_cells).astype(np.float32)
+    )
+
+    def stairs_fn(x, y):
+        px = jnp.clip(x / hs, 0.0, nx - 2.0)
+        x0 = jnp.floor(px).astype(jnp.int32)
+        fx = px - x0
+        return heights[x0] * (1 - fx) + heights[x0 + 1] * fx
+
+    phys = random_states(env, n, seed=seed)
+    h_at = stairs_fn(base_x + 0.0 * phys.base_pos[:, 0], phys.base_pos[:, 1])
+    phys = phys.replace(
+        base_pos=phys.base_pos.at[:, 0].set(base_x).at[:, 2].add(h_at),
+        base_lin_vel=phys.base_lin_vel.at[:, 0].set(0.5),
+    )
+    rng = np.random.RandomState(seed + 1)
+    tau = jnp.asarray(rng.randn(n, env.num_dof).astype(np.float32) * 5.0)
+    rand = BodyRandomization(
+        friction=jnp.ones(n), restitution=jnp.zeros(n),
+        base_mass_scale=jnp.ones(n), base_com_offset=jnp.zeros((n, 3)),
+    )
+
+    def eng_roll(phys):
+        step = jax.vmap(
+            lambda p, t, r: physics_step(
+                env.model, p, t, stairs_fn, env.contact_params, r,
+                env.sim_dt, self_pairs=env.self_pairs,
+            )
+        )
+        for _ in range(substeps):
+            phys, _ = step(phys, tau, rand)
+        return phys
+
+    # plane sampling: the env's exact 5-tap semantics (legged_env.py
+    # _sample_point_planes) at the initial point positions
+    pp0 = _point_world(env, phys)
+    eps = 0.05
+    x, y = pp0[..., 0], pp0[..., 1]
+    h0 = stairs_fn(x, y)
+    gx = (stairs_fn(x + eps, y) - stairs_fn(x - eps, y)) / (2 * eps)
+    gy = (stairs_fn(x, y + eps) - stairs_fn(x, y - eps)) / (2 * eps)
+    c = h0 - gx * x - gy * y
+    plane = [[c[:, p], gx[:, p], gy[:, p]] for p in range(env.model.num_points)]
+
+    sub = ScalarSubstep(
+        env.model, env.contact_params, env.sim_dt, env.self_pairs,
+        terrain_mode="local_plane",
+    )
+    taus = [tau[..., i] for i in range(env.num_dof)]
+
+    def scalar_roll(phys):
+        lanes = state_to_lanes(phys)
+        lanes.update(
+            friction=rand.friction, restitution=rand.restitution,
+            mass_scale=rand.base_mass_scale,
+            com_offset=[rand.base_com_offset[..., k] for k in range(3)],
+            plane=plane,
+        )
+        for _ in range(substeps):
+            lanes, _ = sub.substep(lanes, taus)
+        return lanes_to_state(lanes, PhysicsState)
+
+    want = jax.jit(eng_roll)(phys)
+    with jax.disable_jit():
+        got = scalar_roll(phys)
+    travel = float(jnp.max(jnp.linalg.norm(_point_world(env, want) - pp0, axis=-1)))
+    return want, got, travel
+
+
+def test_local_plane_exact_mid_tread_on_stairs(env):
+    """Envs whose contact points (and the 5-tap stencil) stay inside one
+    flat tread of a bilinear stairs heightfield: the local planes ARE the
+    terrain there, so the kernel path must match the engine evaluating the
+    true bilinear height function to float tolerance."""
+    want, got, _ = _stairs_error_rollout(env, base_x=0.4, seed=21)
+    # qd gets a looser atol: four substeps of stick/slip contact accumulate
+    # ~1e-3 of f32 noise on O(5 rad/s) velocities even when the terrain
+    # models are identical (same growth as the other oracle tests per-step)
+    for name, atol in (("base_pos", 2e-5), ("base_quat", 2e-5), ("q", 2e-5), ("qd", 2e-3)):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name)), np.asarray(getattr(want, name)),
+            rtol=2e-4, atol=atol, err_msg=name,
+        )
+
+
+def test_local_plane_error_bounded_on_riser_cells(env):
+    """Envs straddling a stair riser — where the frozen local plane is a bad
+    model at cell edges: the kernel-vs-engine divergence must stay bounded
+    by the intra-rollout point travel (the claim in legged_env.py's
+    local_plane docs: planes are resampled every policy step at the final
+    point positions, so the linearization error cannot exceed how far a
+    point moved since its plane was sampled)."""
+    want, got, travel = _stairs_error_rollout(env, base_x=0.78, seed=23)
+    err = float(jnp.max(jnp.abs(got.base_pos - want.base_pos)))
+    q_err = float(jnp.max(jnp.abs(got.q - want.q)))
+    assert np.isfinite(err) and np.isfinite(q_err)
+    bound = max(travel, 1e-3)
+    assert err <= bound, f"base_pos divergence {err:.4f} m > point travel {travel:.4f} m"
+    assert q_err <= 10.0 * bound, f"q divergence {q_err:.4f} rad vs travel {travel:.4f} m"

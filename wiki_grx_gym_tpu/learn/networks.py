@@ -57,9 +57,16 @@ def init_mlp(key, in_dim: int, hidden: Sequence[int], out_dim: int) -> List[Tupl
 
 def apply_mlp(params, x, activation: Callable, out_activation: Callable = None, dtype=None):
     """MLP forward. With ``dtype=jnp.bfloat16`` the matmuls run on the MXU in
-    bf16 (operands cast per layer, f32 accumulation via
-    ``preferred_element_type``) while params, biases, activations and the
-    returned output stay float32 — mixed precision with f32 master weights.
+    bf16 AND the hidden activations stay bf16 end-to-end (params remain f32
+    master weights; the last layer accumulates f32 and returns f32 so the
+    downstream distribution/value math is unaffected).
+
+    Keeping the activations bf16 matters more than the matmul precision on
+    TPU: XLA's default f32 matmul already runs bf16 passes on the MXU, but a
+    (65536, 512) f32 hidden activation is 134 MB of HBM traffic per layer
+    per direction — the PPO update's grad steps are HBM-bound on exactly
+    that traffic (v5e roofline, r3 job05: ~2.8 GB/grad-step ~= the measured
+    2.8 ms at 819 GB/s). bf16 halves it.
     """
     if dtype is None:
         for w, b in params[:-1]:
@@ -67,14 +74,18 @@ def apply_mlp(params, x, activation: Callable, out_activation: Callable = None, 
         w, b = params[-1]
         x = x @ w + b
     else:
+        x = x.astype(dtype)
         for w, b in params[:-1]:
-            y = jnp.dot(x.astype(dtype), w.astype(dtype), preferred_element_type=jnp.float32)
-            x = activation(y + b)
+            y = jnp.dot(x, w.astype(dtype), preferred_element_type=dtype)
+            x = activation(y + b.astype(dtype))
         w, b = params[-1]
-        x = jnp.dot(x.astype(dtype), w.astype(dtype), preferred_element_type=jnp.float32) + b
+        x = jnp.dot(x, w.astype(dtype), preferred_element_type=jnp.float32) + b
     if out_activation is not None:
         x = out_activation(x)
     return x
+
+
+_UNSET = object()   # sentinel: "use the network's configured compute_dtype"
 
 
 @struct.dataclass
@@ -123,8 +134,9 @@ class ActorCritic:
 
     # ---- distribution ops (actor_critic_mlp.py:165-217) ----
 
-    def action_mean(self, params: ActorCriticParams, obs):
-        return apply_mlp(params.actor, obs, self.activation, self.actor_out_act, self.compute_dtype)
+    def action_mean(self, params: ActorCriticParams, obs, dtype=_UNSET):
+        dt = self.compute_dtype if dtype is _UNSET else dtype
+        return apply_mlp(params.actor, obs, self.activation, self.actor_out_act, dt)
 
     def std(self, params: ActorCriticParams):
         if self.fixed_std:
@@ -152,6 +164,7 @@ class ActorCritic:
     def act_inference(self, params: ActorCriticParams, obs):
         return self.action_mean(params, obs)
 
-    def evaluate(self, params: ActorCriticParams, critic_obs):
-        v = apply_mlp(params.critic, critic_obs, self.activation, self.critic_out_act, self.compute_dtype)
+    def evaluate(self, params: ActorCriticParams, critic_obs, dtype=_UNSET):
+        dt = self.compute_dtype if dtype is _UNSET else dtype
+        v = apply_mlp(params.critic, critic_obs, self.activation, self.critic_out_act, dt)
         return jnp.squeeze(v, axis=-1)

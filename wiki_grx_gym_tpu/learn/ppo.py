@@ -114,6 +114,15 @@ class PPO:
         # storing activations: trades ~1/3 more MXU work for zero
         # activation HBM traffic in the update's grad steps
         self.remat_update = bool(getattr(alg_cfg, "remat_update", False))
+        # update-phase MLP activation dtype. The grad steps are HBM-bound on
+        # the (B, width) hidden activations (f32 at B=65536: ~2.8 GB/step,
+        # v5e roofline r3 job05); bf16 activations halve that traffic while
+        # params/optimizer/distribution math stay f32. Scoped to the update
+        # only — the rollout's policy forward keeps the network's own
+        # compute_dtype, so deployment-path numerics are untouched.
+        # Training quality revalidated end-to-end in docs/TRAINING.md r3.
+        ud = str(getattr(alg_cfg, "update_dtype", "bfloat16") or "float32")
+        self.update_dtype = {"float32": None, "bfloat16": jnp.bfloat16}[ud]
         # run clip+Adam over ONE raveled parameter vector instead of the
         # 10+-leaf pytree: optax maps ~8 elementwise ops per leaf, and those
         # ~100 launch-bound kernels measured ~60% of each grad step (v5e,
@@ -176,10 +185,10 @@ class PPO:
 
     def _minibatch_loss(self, params, mb, lr_unused):
         net = self.net
-        mean = net.action_mean(params, mb["obs"])
+        mean = net.action_mean(params, mb["obs"], dtype=self.update_dtype)
         std = jnp.broadcast_to(net.std(params), mean.shape)
         logp = net.log_prob(mean, std, mb["actions"])
-        value = net.evaluate(params, mb["critic_obs"])
+        value = net.evaluate(params, mb["critic_obs"], dtype=self.update_dtype)
         entropy = net.entropy(std)
 
         # KL of the new dist from the rollout dist (ppo.py:257-262)
@@ -331,13 +340,17 @@ class PPO:
         squeeze = {"log_prob", "values", "returns", "advantages"}  # (T, N) scalars
 
         def get_mb(i):
+            # the wide (matmul-input) fields stay in storage_dtype — the MLPs
+            # consume bf16 directly (update_dtype) or XLA upcasts per-layer;
+            # an eager whole-buffer astype here cost a 54 MB f32 copy per
+            # grad step. Ratio/KL scalars are f32 in their own buffer.
             mb = {}
             for shuf, names, offs, sizes in (
                 (shuf_w, names_w, offs_w, sizes_w),
                 (shuf_f, names_f, offs_f, sizes_f),
             ):
                 x = jax.lax.dynamic_index_in_dim(shuf, i, axis=1, keepdims=False)
-                flat = x.reshape(g * rows_per_mb, offs[-1]).astype(jnp.float32)
+                flat = x.reshape(g * rows_per_mb, offs[-1])
                 for name, o, s in zip(names, offs, sizes):
                     v = jax.lax.slice_in_dim(flat, o, o + s, axis=1)
                     mb[name] = v[:, 0] if name in squeeze else v

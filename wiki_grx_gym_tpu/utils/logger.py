@@ -42,38 +42,66 @@ class EvalLogger:
         print(f"Total number of episodes: {self.num_episodes}")
 
     def save_plots(self, path: str):
-        """3x3 dashboard matching utils/logger.py:71-126."""
+        """3x3 dashboard, panel-for-panel the reference's
+        (`legged_gym/utils/logger.py:66-126`): base velocity x/y/yaw vs
+        command, DOF position/velocity vs target, base velocity z,
+        vertical contact forces per foot, the torque/velocity scatter,
+        and torque over time."""
         import matplotlib
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
         log = self.state_log
-        nb_rows, nb_cols = 3, 3
-        fig, axs = plt.subplots(nb_rows, nb_cols, figsize=(15, 10))
-        time = np.linspace(0, len(next(iter(log.values()), [0])) * self.dt, max(len(next(iter(log.values()), [0])), 1))
+        n = max((len(v) for v in log.values()), default=1)
+        time = np.linspace(0, n * self.dt, n)
+        fig, axs = plt.subplots(3, 3, figsize=(15, 10))
 
-        def plot(ax, keys, title, ylabel):
-            for k in keys:
-                if k in log and log[k]:
-                    ax.plot(time[: len(log[k])], np.asarray(log[k], dtype=object if isinstance(log[k][0], np.ndarray) else None), label=k)
-            ax.set(title=title, xlabel="time [s]", ylabel=ylabel)
-            ax.legend(fontsize="x-small")
+        def series(key):
+            return np.asarray(log[key], dtype=float) if log.get(key) else None
 
-        plot(axs[0, 0], ["base_vel_x", "command_x"], "Base velocity x", "[m/s]")
-        plot(axs[0, 1], ["base_vel_y", "command_y"], "Base velocity y", "[m/s]")
-        plot(axs[0, 2], ["base_vel_yaw", "command_yaw"], "Base velocity yaw", "[rad/s]")
-        plot(axs[1, 0], ["dof_pos", "dof_pos_target"], "DOF position", "[rad]")
-        plot(axs[1, 1], ["dof_vel"], "DOF velocity", "[rad/s]")
-        plot(axs[1, 2], ["dof_torque"], "DOF torque", "[Nm]")
-        plot(axs[2, 0], ["base_vel_z"], "Base velocity z", "[m/s]")
-        if "contact_forces_z" in log and log["contact_forces_z"]:
+        def plot(ax, pairs, title, xlabel, ylabel):
+            for key, label in pairs:
+                y = series(key)
+                if y is not None:
+                    ax.plot(time[: len(y)], y, label=label)
+            ax.set(title=title, xlabel=xlabel, ylabel=ylabel)
+            if ax.get_legend_handles_labels()[0]:
+                ax.legend(fontsize="x-small")
+
+        plot(axs[0, 0], [("base_vel_x", "measured"), ("command_x", "commanded")],
+             "Base velocity x", "time [s]", "base lin vel [m/s]")
+        plot(axs[0, 1], [("base_vel_y", "measured"), ("command_y", "commanded")],
+             "Base velocity y", "time [s]", "base lin vel [m/s]")
+        plot(axs[0, 2], [("base_vel_yaw", "measured"), ("command_yaw", "commanded")],
+             "Base velocity yaw", "time [s]", "base ang vel [rad/s]")
+        plot(axs[1, 0], [("dof_pos", "measured"), ("dof_pos_target", "target")],
+             "DOF Position", "time [s]", "Position [rad]")
+        plot(axs[1, 1], [("dof_vel", "measured"), ("dof_vel_target", "target")],
+             "Joint Velocity", "time [s]", "Velocity [rad/s]")
+        plot(axs[1, 2], [("base_vel_z", "measured")],
+             "Base velocity z", "time [s]", "base lin vel [m/s]")
+        # vertical contact forces, one line per foot
+        a = axs[2, 0]
+        if log.get("contact_forces_z"):
             forces = np.stack(log["contact_forces_z"])
             for i in range(forces.shape[1]):
-                axs[2, 1].plot(time[: forces.shape[0]], forces[:, i], label=f"force {i}")
-            axs[2, 1].set(title="Vertical contact forces", xlabel="time [s]", ylabel="[N]")
-            axs[2, 1].legend(fontsize="x-small")
-        plot(axs[2, 2], ["dof_torque"], "Torque/velocity", "[Nm]")
+                a.plot(time[: forces.shape[0]], forces[:, i], label=f"force {i}")
+        a.set(title="Vertical Contact forces", xlabel="time [s]", ylabel="Forces z [N]")
+        if a.get_legend_handles_labels()[0]:
+            a.legend(fontsize="x-small")
+        # torque/velocity scatter
+        a = axs[2, 1]
+        tv, tq = series("dof_vel"), series("dof_torque")
+        if tv is not None and tq is not None:
+            m = min(len(tv), len(tq))
+            a.plot(tv[:m], tq[:m], "x", label="measured")
+        a.set(title="Torque/velocity curves", xlabel="Joint vel [rad/s]",
+              ylabel="Joint Torque [Nm]")
+        if a.get_legend_handles_labels()[0]:
+            a.legend(fontsize="x-small")
+        plot(axs[2, 2], [("dof_torque", "measured")],
+             "Torque", "time [s]", "Joint Torque [Nm]")
         fig.tight_layout()
         fig.savefig(path, dpi=100)
         plt.close(fig)
