@@ -342,3 +342,66 @@ def test_bf16_compute_dtype_matches_f32_within_tolerance():
     for a, b in zip(jax.tree.leaves(s16.params), jax.tree.leaves(s32.params)):
         assert a.dtype == jnp.float32
         assert float(jnp.max(jnp.abs(a - b))) < 2e-2
+
+
+def test_joint_mean_value_matches_separate_stacks():
+    """The fused actor+critic trunk (networks.joint_mean_value — one batched
+    dot_general per hidden layer, padded+stacked output heads) must compute
+    exactly the separate-stack forward (`actor_critic_mlp.py:59-74`)."""
+    _, train_cfg = small_cfgs()
+    net, _ = make_alg(train_cfg, obs=12, pri=16, act=4)
+    params = net.init(jax.random.PRNGKey(0))
+    obs = jax.random.normal(jax.random.PRNGKey(1), (33, 12))
+    cobs = jax.random.normal(jax.random.PRNGKey(2), (33, 16))
+    mean, value = net.joint_mean_value(params, obs, cobs)
+    np.testing.assert_allclose(
+        np.asarray(mean), np.asarray(net.action_mean(params, obs)), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(value), np.asarray(net.evaluate(params, cobs)), atol=1e-6
+    )
+    # mismatched hidden shapes fall back to the separate stacks
+    train_cfg.policy.critic_hidden_dims = [64, 32]
+    net2, _ = make_alg(train_cfg, obs=12, pri=16, act=4)
+    params2 = net2.init(jax.random.PRNGKey(0))
+    mean2, value2 = net2.joint_mean_value(params2, obs, cobs)
+    np.testing.assert_allclose(
+        np.asarray(mean2), np.asarray(net2.action_mean(params2, obs)), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(value2), np.asarray(net2.evaluate(params2, cobs)), atol=1e-6
+    )
+
+
+def test_update_with_in_rollout_packed_wide_matches_unpacked():
+    """update(packed_wide=...) — the in-rollout-packed obs||critic_obs buffer
+    (runner._rollout) — must reproduce update() from the raw Transition
+    fields exactly (same permutation key, same storage dtype)."""
+    _, train_cfg = small_cfgs(mb=2, epochs=2)
+    net, alg = make_alg(train_cfg, obs=6, pri=9, act=2)
+    params = net.init(jax.random.PRNGKey(0))
+
+    t, n = 8, 16
+    obs = jax.random.normal(jax.random.PRNGKey(2), (t, n, 6))
+    cobs = jax.random.normal(jax.random.PRNGKey(5), (t, n, 9))
+    actions, logp, mu, sigma = jax.vmap(lambda o, k: net.act(params, o, k))(
+        obs, jax.random.split(jax.random.PRNGKey(3), t)
+    )
+    values = jax.vmap(lambda o: net.evaluate(params, o))(cobs)
+    rewards = jnp.sum(actions, axis=-1)
+    dones = jnp.zeros((t, n), bool)
+    batch = Transition(obs, cobs, actions, rewards, dones, values, logp, mu, sigma)
+    returns, adv = alg.compute_returns(batch, values[-1])
+
+    packed = jnp.concatenate(
+        [obs.astype(alg.storage_dtype), cobs.astype(alg.storage_dtype)], axis=-1
+    )
+    key = jax.random.PRNGKey(4)
+    s_a, m_a = jax.jit(alg.update)(alg.init(params), batch, returns, adv, key)
+    s_b, m_b = jax.jit(
+        lambda st, b, r, a, k, p: alg.update(st, b, r, a, k, packed_wide=p, wide_sizes=(6, 9))
+    )(alg.init(params), batch, returns, adv, key, packed)
+    for k in ("value_loss", "surrogate_loss", "kl"):
+        np.testing.assert_allclose(float(m_a[k]), float(m_b[k]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -185,10 +185,13 @@ class PPO:
 
     def _minibatch_loss(self, params, mb, lr_unused):
         net = self.net
-        mean = net.action_mean(params, mb["obs"], dtype=self.update_dtype)
+        # one batched-matmul trunk for actor mean + critic value (halves the
+        # grad step's matmul dispatch count; see networks.joint_mean_value)
+        mean, value = net.joint_mean_value(
+            params, mb["obs"], mb["critic_obs"], dtype=self.update_dtype
+        )
         std = jnp.broadcast_to(net.std(params), mean.shape)
         logp = net.log_prob(mean, std, mb["actions"])
-        value = net.evaluate(params, mb["critic_obs"], dtype=self.update_dtype)
         entropy = net.entropy(std)
 
         # KL of the new dist from the rollout dist (ppo.py:257-262)
@@ -242,11 +245,20 @@ class PPO:
             jnp.where((kl_mean < self.desired_kl / 2.0) & (kl_mean > 0.0), lr_up, lr),
         )
 
-    def _pack_shuffle(self, batch: Transition, returns, advantages, key):
+    def _pack_shuffle(self, batch: Transition, returns, advantages, key,
+                      packed_wide=None, wide_sizes=None):
         """Pack the nine rollout fields into two (G, MB, rows, F) buffers
         (wide matmul inputs in ``storage_dtype``, ratio/KL-critical scalars
         in f32), shuffled ONCE by the update's single block permutation so
-        every minibatch of every epoch is a contiguous slice."""
+        every minibatch of every epoch is a contiguous slice.
+
+        ``packed_wide``: optional (T, N, O+P) buffer of obs||critic_obs
+        already concatenated in ``storage_dtype`` — produced *inside* the
+        rollout scan (runner._rollout), where the concat+downcast fuses into
+        the scan step for free. Passing it skips the wide buffer's separate
+        concat/astype pass here (a full read+write of the rollout's largest
+        field), and lets XLA dead-code-eliminate the f32 obs/critic_obs
+        stores from the rollout scan entirely. ``wide_sizes`` = (O, P)."""
         t, n = batch.rewards.shape
         g = self.perm_groups
         assert n % g == 0, f"num_envs {n} not divisible by perm_groups {g}"
@@ -284,22 +296,31 @@ class PPO:
         # one group-local permutation per update (base_storage.py:169)
         perm = jax.random.permutation(key, n_blocks)[:used]
 
-        def pack_shuffle(fields, dtype):
+        def concat(fields, dtype):
             sizes = [x.shape[-1] for _, x in fields]
             offs = [0]
             for sz in sizes:
                 offs.append(offs[-1] + sz)
-            p = jnp.concatenate([x.astype(dtype) for _, x in fields], axis=-1)
+            return jnp.concatenate([x.astype(dtype) for _, x in fields], axis=-1), offs, sizes
+
+        def pack_shuffle(p, f):
             # (T, N, F) -> (G, n_blocks, B*F); the g<->t transpose is local
             # on a dp mesh (g is the sharded axis)
-            p = p.reshape(t, g, nb_t, b * offs[-1])
-            p = jnp.swapaxes(p, 0, 1).reshape(g, n_blocks, b * offs[-1])
+            p = p.reshape(t, g, nb_t, b * f)
+            p = jnp.swapaxes(p, 0, 1).reshape(g, n_blocks, b * f)
             # the one gather of the whole update, then minibatches are slices
             p = jnp.take(p, perm, axis=1)
-            return p.reshape(g, self.num_mini_batches, rows_per_mb, offs[-1]), offs, sizes
+            return p.reshape(g, self.num_mini_batches, rows_per_mb, f)
 
-        shuf_w, offs_w, sizes_w = pack_shuffle(wide_fields, self.storage_dtype)
-        shuf_f, offs_f, sizes_f = pack_shuffle(f32_fields, jnp.float32)
+        if packed_wide is not None:
+            sizes_w = [int(s) for s in wide_sizes]
+            offs_w = [0, sizes_w[0], sizes_w[0] + sizes_w[1]]
+            pw = packed_wide.astype(self.storage_dtype)
+        else:
+            pw, offs_w, sizes_w = concat(wide_fields, self.storage_dtype)
+        pf, offs_f, sizes_f = concat(f32_fields, jnp.float32)
+        shuf_w = pack_shuffle(pw, offs_w[-1])
+        shuf_f = pack_shuffle(pf, offs_f[-1])
         return (
             shuf_w, offs_w, sizes_w, shuf_f, offs_f, sizes_f,
             [nm for nm, _ in wide_fields], [nm for nm, _ in f32_fields],
@@ -307,7 +328,8 @@ class PPO:
         )
 
     def update(
-        self, ppo_state: PPOState, batch: Transition, returns, advantages, key
+        self, ppo_state: PPOState, batch: Transition, returns, advantages, key,
+        packed_wide=None, wide_sizes=None,
     ) -> Tuple[PPOState, Dict[str, jax.Array]]:
         """Epochs x minibatches over the flattened (T*N) batch as one scan.
 
@@ -335,7 +357,8 @@ class PPO:
           operands to bf16 anyway; measured param delta exactly 0.0), and
           the ratio/KL-critical scalars in f32."""
         shuf_w, offs_w, sizes_w, shuf_f, offs_f, sizes_f, names_w, names_f, g, rows_per_mb = (
-            self._pack_shuffle(batch, returns, advantages, key)
+            self._pack_shuffle(batch, returns, advantages, key,
+                               packed_wide=packed_wide, wide_sizes=wide_sizes)
         )
         squeeze = {"log_prob", "values", "returns", "advantages"}  # (T, N) scalars
 

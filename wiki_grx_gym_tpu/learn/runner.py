@@ -176,9 +176,20 @@ class OnPolicyRunner:
             if self.recurrent:
                 actions, logp, mu, sigma, hidden = net.act_rnn(params, obs, hidden, k_act)
                 values, hidden = net.evaluate_rnn(params, critic_obs, hidden)
+                packed = jnp.zeros((n, 0), alg.storage_dtype)
             else:
-                actions, logp, mu, sigma = net.act(params, obs, k_act)
-                values = net.evaluate(params, critic_obs)
+                # actor + critic as one batched trunk (networks.joint_mean_value)
+                mu, values = net.joint_mean_value(params, obs, critic_obs)
+                sigma = jnp.broadcast_to(net.std(params), mu.shape)
+                actions = mu + sigma * jax.random.normal(k_act, mu.shape)
+                logp = net.log_prob(mu, sigma, actions)
+                # obs||critic_obs pre-packed in the update's storage dtype:
+                # the PPO update consumes THIS buffer, so the f32 obs stores
+                # below are dead and XLA eliminates them (see _pack_shuffle)
+                packed = jnp.concatenate(
+                    [obs.astype(alg.storage_dtype), critic_obs.astype(alg.storage_dtype)],
+                    axis=-1,
+                )
             env_state, out = env.step(env_state, actions)
             # timeout bootstrapping (ppo.py:190-191)
             rewards = out.rew + alg.gamma * values * out.extras["time_outs"]
@@ -203,7 +214,7 @@ class OnPolicyRunner:
                 # zero recurrent memory of reset envs (rsl_rl reset semantics)
                 live = (1.0 - out.reset.astype(jnp.float32))[None, :, None]
                 hidden = type(hidden)(*(h * live for h in hidden))
-            return (env_state, out.obs, out.pri_obs, key, hidden, acc), trans
+            return (env_state, out.obs, out.pri_obs, key, hidden, acc), (trans, packed)
 
         acc0 = {
             "rew": jnp.zeros(n),
@@ -211,13 +222,13 @@ class OnPolicyRunner:
             "ep_sums": jnp.zeros((n, len(self.env.all_reward_names))),
             "ep_len_done": jnp.zeros(n),
         }
-        (env_state, obs, critic_obs, key, hidden, acc), batch = jax.lax.scan(
+        (env_state, obs, critic_obs, key, hidden, acc), (batch, packed) = jax.lax.scan(
             rollout_step,
             (env_state, obs, critic_obs, key, hidden, acc0),
             None,
             length=self.num_steps_per_env,
         )
-        return env_state, obs, critic_obs, key, hidden, acc, batch
+        return env_state, obs, critic_obs, key, hidden, acc, batch, packed
 
     def _iteration(self, state: RunnerState):
         env, net, alg = self.env, self.net, self.alg
@@ -225,7 +236,7 @@ class OnPolicyRunner:
         params = state.ppo.params
 
         hidden0 = state.hidden   # memory at rollout start (recurrent replay)
-        env_state, obs, critic_obs, key, hidden, acc, batch = self._rollout(
+        env_state, obs, critic_obs, key, hidden, acc, batch, packed = self._rollout(
             state.env_state, state.obs, state.critic_obs, params, key, state.hidden
         )
 
@@ -239,7 +250,9 @@ class OnPolicyRunner:
             last_values = net.evaluate(params, critic_obs)
             returns, advantages = alg.compute_returns(batch, last_values)
             ppo_state, update_metrics = alg.update(
-                state.ppo, batch, returns, advantages, k_update
+                state.ppo, batch, returns, advantages, k_update,
+                packed_wide=packed,
+                wide_sizes=(self.env.obs_dim, critic_obs.shape[-1]),
             )
 
         # metric reductions: once per iteration (the only rollout-side
