@@ -67,13 +67,15 @@ def time_fn(fn, *args, iters, warmup=2):
 
 
 def bench_config(num_envs, iters, subset=False, platform="tpu", task="GR1T1",
-                 mesh_type=None):
+                 mesh_type=None, train_hook=None):
     import jax
 
     from wiki_grx_gym_tpu.envs import task_registry
 
     env_cfg, train_cfg = task_registry.get_cfgs(task)
     env_cfg.env.num_envs = num_envs
+    if train_hook is not None:
+        train_hook(train_cfg)
     if mesh_type is not None:
         env_cfg.terrain.mesh_type = mesh_type
         env_cfg.terrain.curriculum = True
@@ -126,6 +128,11 @@ def bench_config(num_envs, iters, subset=False, platform="tpu", task="GR1T1",
 def main():
     import jax
 
+    # the full terrain/model matrix is a separate, slower run (--full);
+    # the default run is sized for the driver budget: headline 4096-env
+    # config + the reference's default 8192-env datapoint only
+    full = "--full" in sys.argv
+
     platform = jax.devices()[0].platform
     on_tpu = platform != "cpu"
     n_main = 4096 if on_tpu else 256
@@ -138,6 +145,7 @@ def main():
     if on_tpu:
         half = max(iters // 2, 10)
         breakdown["envs8192"] = bench_config(8192, half)
+    if on_tpu and full:
         breakdown["ref_equiv_subset"] = bench_config(n_main, half, subset=True)
         # terrain modes (the reference's marquee curriculum path +
         # the trimesh stair-riser semantics, terrain_utils.py:286-361)

@@ -146,6 +146,70 @@ def test_dp1_vs_dp8_training_step_equivalence(mesh8):
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=4e-5)
 
 
+def test_dp1_vs_dp8_equivalence_bf16_default_path(mesh8):
+    """Sharding coverage for the SHIPPED defaults (update_dtype=bfloat16,
+    in-rollout packing): one training step, dp1 vs dp8, at
+    bf16-calibrated tolerances. bf16 reduction-order noise rounds
+    differently across shardings, so tolerances are loose — real sharding
+    corruption (wrong minibatch composition, clobbered shards) produces
+    O(1) divergence, orders of magnitude above these bounds."""
+    mesh1 = make_mesh(num_mp=1, devices=jax.devices()[:1])
+
+    results = {}
+    for name, mesh in (("dp1", mesh1), ("dp8", mesh8)):
+        env_cfg, train_cfg = task_registry.get_cfgs("GR1T1")
+        env_cfg.env.num_envs = 16
+        train_cfg.runner.num_steps_per_env = 4
+        train_cfg.algorithm.num_mini_batches = 2
+        train_cfg.algorithm.num_learning_epochs = 1
+        train_cfg.algorithm.permutation_groups = 8
+        assert str(train_cfg.algorithm.update_dtype) == "bfloat16"  # the default
+        env, _ = task_registry.make_env("GR1T1", env_cfg=env_cfg)
+        runner = OnPolicyRunner(env, train_cfg, log_dir=None, mesh=mesh)
+        state = runner.init_state(init_at_random_ep_len=True)
+        state = shard_runner_state(state, mesh, env.num_envs)
+        state, metrics = runner._train_iter(state)
+        results[name] = (
+            jax.device_get(
+                {k: v for k, v in metrics.items() if getattr(v, "ndim", 1) == 0}
+            ),
+            jax.device_get(jax.tree.leaves(state.ppo.params)),
+        )
+
+    m1, p1 = results["dp1"]
+    m8, p8 = results["dp8"]
+    # rollout is f32 and bit-reproducible across shardings; these differ
+    # only through the update's bf16 grad steps
+    np.testing.assert_allclose(m1["mean_step_reward"], m8["mean_step_reward"],
+                               rtol=1e-5, atol=1e-6)
+    assert m1["done_count"] == m8["done_count"]
+    for k in ("value_loss", "surrogate_loss", "kl"):
+        np.testing.assert_allclose(m1[k], m8[k], rtol=2e-2, atol=1e-3, err_msg=k)
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(a, b, rtol=1e-2, atol=5e-3)
+
+
+def test_dp8_update_no_gather_collectives_bf16_default_path(mesh8):
+    """HLO contract on the shipped-default iteration (bf16 update, packed
+    rollout) over dp8: gradient all-reduce only — no
+    all-gather / all-to-all anywhere in the compiled program."""
+    env_cfg, train_cfg = task_registry.get_cfgs("GR1T1")
+    env_cfg.env.num_envs = 16
+    train_cfg.runner.num_steps_per_env = 4
+    train_cfg.algorithm.num_mini_batches = 2
+    train_cfg.algorithm.num_learning_epochs = 1
+    env, _ = task_registry.make_env("GR1T1", env_cfg=env_cfg)
+    runner = OnPolicyRunner(env, train_cfg, log_dir=None, mesh=mesh8)
+    assert runner.alg.update_dtype == jnp.bfloat16
+    assert runner.alg.pack_rollout and not runner.alg.fused_trunk  # shipped defaults
+    state = runner.init_state(init_at_random_ep_len=True)
+    state = shard_runner_state(state, mesh8, env.num_envs)
+    hlo = jax.jit(runner._iteration).lower(state).compile().as_text()
+    found = sorted(set(_COLLECTIVES.findall(hlo)))
+    assert "all-gather" not in found, f"default path gathers across devices: {found}"
+    assert "all-to-all" not in found, f"default path reshuffles across devices: {found}"
+
+
 def test_mp1_vs_mp2_training_step_equivalence():
     """TP must be a pure config change (the SURVEY §2.6 "shard_map-ready"
     claim): the same seed produces the same training step on a dp4 mesh

@@ -1,21 +1,17 @@
-"""Round-3 job 08: measure + revalidate the fused-update rework.
+"""Round-4 job 02: the end-to-end training revalidation round 3 never
+finished (VERDICT items 2, 7, 9).
 
-Changes under test (vs commit 579f5ec):
-  - joint_mean_value: actor+critic as one batched-matmul trunk (rollout
-    forward AND every PPO grad step);
-  - in-rollout packing: obs||critic_obs concatenated to storage_dtype inside
-    the rollout scan; the update's wide pack pass reduces to reshape+gather
-    and the f32 obs stores are dead-code-eliminated.
+One process (pool-grant wait is per process):
+  1. plane, 1000 iters @ 4096 envs, shipped defaults -> tracking eval;
+  2. heightfield (curriculum), 1000 iters -> tracking eval, plus a
+     per-terrain-level wz breakdown (VERDICT item 7: wz tracking was 69.7%);
+  3. trimesh (riser walls), 1000 iters -> tracking eval;
+  4. GR1T1_full (32-DOF full body), 2000 iters -> plane tracking eval
+     (VERDICT item 9; reference full-body config gr1t1_config.py:12-345).
 
-Plan (one process — pool-grant wait is per process):
-  1. perf: full-iteration time + collection/learn split at 4096 and 8192
-     envs (plane), via bench.bench_config;
-  2. training revalidation, 1000 iterations @ 4096 envs each:
-     plane, heightfield (curriculum), trimesh (riser walls) —
-     each followed by a deterministic tracking eval (docs/TRAINING.md
-     protocol; terrain evals on mixed levels 0-5).
-
-Run:  env -u nothing python tools/jobs/r3_job08_fused_update.py > tools/jobs/r3_job08.out 2>&1
+Evals follow docs/TRAINING.md protocol: 64 envs, DR/noise/push off, fixed
+command held, 60-step transient then 200-step measurement window; reference
+eval flow legged_gym/scripts/play.py:96-137.
 """
 
 import json
@@ -49,8 +45,7 @@ TERRAIN_COMMANDS = [
 ]
 
 
-def eval_tracking(params, task, mesh_type, commands, num_envs=64,
-                  transient=60, window=200):
+def make_eval_env(task, mesh_type, num_envs):
     from wiki_grx_gym_tpu.envs import task_registry
     from wiki_grx_gym_tpu.learn.runner import OnPolicyRunner
 
@@ -69,6 +64,14 @@ def eval_tracking(params, task, mesh_type, commands, num_envs=64,
         env_cfg.terrain.curriculum = True
     env, _ = task_registry.make_env(task, env_cfg=env_cfg)
     runner = OnPolicyRunner(env, train_cfg, log_dir=None)
+    return env, runner
+
+
+def eval_tracking(params, task, mesh_type, commands, num_envs=64,
+                  transient=60, window=200, level=None):
+    """level: if set, pin every env's terrain level (heightfield wz
+    investigation — does tracking degrade with difficulty?)."""
+    env, runner = make_eval_env(task, mesh_type, num_envs)
     state = runner.init_state()
     state = state.replace(ppo=state.ppo.replace(params=params))
     policy = runner.get_inference_policy(state)
@@ -78,7 +81,11 @@ def eval_tracking(params, task, mesh_type, commands, num_envs=64,
     for label, vx, vy, wz, idx in commands:
         if hasattr(policy, "reset"):
             policy.reset()
-        env_state, o = env.reset(state.env_state)
+        env_state = state.env_state
+        if level is not None and hasattr(env_state, "terrain_levels"):
+            lv = jnp.full((num_envs,), level, env_state.terrain_levels.dtype)
+            env_state = env_state.replace(terrain_levels=lv)
+        env_state, o = env.reset(env_state)
         obs = o.obs
         cmd = jnp.broadcast_to(jnp.asarray([vx, vy, wz]), (num_envs, 3))
         meas, alive = [], jnp.ones(num_envs, bool)
@@ -99,12 +106,13 @@ def eval_tracking(params, task, mesh_type, commands, num_envs=64,
         target = (vx, vy, wz)[idx]
         track = measured / target * 100.0 if abs(target) > 1e-6 else float("nan")
         rows.append({"cmd": label, "target": target, "measured": round(measured, 3),
-                     "tracking_pct": round(track, 1), "survival_pct": round(survival * 100, 1)})
-        out("eval", mesh=mesh_type or "plane", **rows[-1])
+                     "tracking_pct": round(track, 1),
+                     "survival_pct": round(survival * 100, 1)})
+        out("eval", mesh=mesh_type or "plane", level=level, **rows[-1])
     return rows
 
 
-def train_run(tag, mesh_type=None, iters=1000, num_envs=4096, task="GR1T1"):
+def train_run(run, mesh_type=None, iters=1000, num_envs=4096, task="GR1T1"):
     from wiki_grx_gym_tpu.envs import task_registry
 
     env_cfg, train_cfg = task_registry.get_cfgs(task)
@@ -119,7 +127,7 @@ def train_run(tag, mesh_type=None, iters=1000, num_envs=4096, task="GR1T1"):
     state = runner.learn(iters, state=state)
     wall = time.time() - t0
     fps = iters * runner.num_steps_per_env * num_envs / wall
-    out("train", run=tag, iters=iters, wall_s=round(wall, 1),
+    out("train", run=run, iters=iters, wall_s=round(wall, 1),
         sustained_fps=round(fps, 1))
     return jax.device_get(state.ppo.params)
 
@@ -127,22 +135,22 @@ def train_run(tag, mesh_type=None, iters=1000, num_envs=4096, task="GR1T1"):
 def main():
     out("env", platform=jax.devices()[0].platform)
 
-    from bench import bench_config
-
-    for n, iters in ((4096, 30), (8192, 15)):
-        r = bench_config(n, iters)
-        out("perf", num_envs=n, fps=round(r["fps"], 1), iter_ms=round(r["iter_ms"], 2),
-            collection_ms=round(r["collection_ms"], 2), learn_ms=round(r["learn_ms"], 2),
-            mfu=round(r["mfu_vs_bf16_peak"], 4))
-
     params = train_run("plane")
     eval_tracking(params, "GR1T1", None, PLANE_COMMANDS)
 
     params = train_run("heightfield", mesh_type="heightfield")
     eval_tracking(params, "GR1T1", "heightfield", TERRAIN_COMMANDS)
+    # wz-by-difficulty breakdown (VERDICT item 7)
+    for level in (0, 2, 4):
+        eval_tracking(params, "GR1T1", "heightfield",
+                      [("wz=+0.8", 0.0, 0.0, 0.8, 2), ("vx=+0.4", 0.4, 0.0, 0.0, 0)],
+                      level=level)
 
     params = train_run("trimesh", mesh_type="trimesh")
     eval_tracking(params, "GR1T1", "trimesh", TERRAIN_COMMANDS)
+
+    params = train_run("full_body", iters=2000, task="GR1T1_full")
+    eval_tracking(params, "GR1T1_full", None, PLANE_COMMANDS)
 
     out("done")
 

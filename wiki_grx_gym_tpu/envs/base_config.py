@@ -278,6 +278,22 @@ class LeggedRobotCfgPPO(BaseConfig):
         # PPO update ("bfloat16" or "float32"); ratio/KL-critical fields are
         # always float32 (learn/ppo.py)
         storage_dtype = "bfloat16"
+        # update-phase MLP activation dtype ("bfloat16" or "float32");
+        # scoped to the PPO grad steps only (learn/ppo.py)
+        update_dtype = "bfloat16"
+        # run actor mean + critic value as ONE stacked batched-matmul trunk
+        # (networks.joint_mean_value) in the rollout and the update grad
+        # steps; False = separate actor/critic stacks, the reference's
+        # layout (actor_critic_mlp.py:59-74). Default OFF: the stacked
+        # trunk measured +16 ms/iteration in the PPO update at 4096 envs
+        # (v5e A/B, tools/jobs/r4_job01_ab.py — the jnp.stack of the two
+        # hidden activations is an extra HBM round trip per layer that
+        # outweighs the halved dispatch count)
+        fused_trunk = False
+        # pre-pack obs||critic_obs into the update's storage-dtype shuffle
+        # buffer inside the rollout scan (learn/runner._rollout) instead of
+        # a separate concat pass in the update (learn/ppo._pack_shuffle)
+        pack_rollout = True
 
     class policy:
         init_noise_std = 1.0

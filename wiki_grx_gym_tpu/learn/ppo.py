@@ -120,9 +120,17 @@ class PPO:
         # params/optimizer/distribution math stay f32. Scoped to the update
         # only — the rollout's policy forward keeps the network's own
         # compute_dtype, so deployment-path numerics are untouched.
-        # Training quality revalidated end-to-end in docs/TRAINING.md r3.
+        # Training-quality validation tables live in docs/TRAINING.md.
         ud = str(getattr(alg_cfg, "update_dtype", "bfloat16") or "float32")
         self.update_dtype = {"float32": None, "bfloat16": jnp.bfloat16}[ud]
+        # actor+critic as one stacked batched-matmul trunk vs the
+        # reference's two separate stacks; also consumed by the runner's
+        # rollout. Default off — measured 16 ms/iter SLOWER at 4096 envs
+        # (v5e, tools/jobs/r4_job01_ab.py; base_config.algorithm.fused_trunk)
+        self.fused_trunk = bool(getattr(alg_cfg, "fused_trunk", False))
+        # obs||critic_obs packed inside the rollout scan vs a separate
+        # concat pass here (base_config.algorithm.pack_rollout)
+        self.pack_rollout = bool(getattr(alg_cfg, "pack_rollout", True))
         # run clip+Adam over ONE raveled parameter vector instead of the
         # 10+-leaf pytree: optax maps ~8 elementwise ops per leaf, and those
         # ~100 launch-bound kernels measured ~60% of each grad step (v5e,
@@ -185,11 +193,15 @@ class PPO:
 
     def _minibatch_loss(self, params, mb, lr_unused):
         net = self.net
-        # one batched-matmul trunk for actor mean + critic value (halves the
-        # grad step's matmul dispatch count; see networks.joint_mean_value)
-        mean, value = net.joint_mean_value(
-            params, mb["obs"], mb["critic_obs"], dtype=self.update_dtype
-        )
+        if self.fused_trunk:
+            # one batched-matmul trunk for actor mean + critic value (halves
+            # the grad step's matmul dispatch count; networks.joint_mean_value)
+            mean, value = net.joint_mean_value(
+                params, mb["obs"], mb["critic_obs"], dtype=self.update_dtype
+            )
+        else:
+            mean = net.action_mean(params, mb["obs"], dtype=self.update_dtype)
+            value = net.evaluate(params, mb["critic_obs"], dtype=self.update_dtype)
         std = jnp.broadcast_to(net.std(params), mean.shape)
         logp = net.log_prob(mean, std, mb["actions"])
         entropy = net.entropy(std)

@@ -178,18 +178,25 @@ class OnPolicyRunner:
                 values, hidden = net.evaluate_rnn(params, critic_obs, hidden)
                 packed = jnp.zeros((n, 0), alg.storage_dtype)
             else:
-                # actor + critic as one batched trunk (networks.joint_mean_value)
-                mu, values = net.joint_mean_value(params, obs, critic_obs)
-                sigma = jnp.broadcast_to(net.std(params), mu.shape)
-                actions = mu + sigma * jax.random.normal(k_act, mu.shape)
-                logp = net.log_prob(mu, sigma, actions)
-                # obs||critic_obs pre-packed in the update's storage dtype:
-                # the PPO update consumes THIS buffer, so the f32 obs stores
-                # below are dead and XLA eliminates them (see _pack_shuffle)
-                packed = jnp.concatenate(
-                    [obs.astype(alg.storage_dtype), critic_obs.astype(alg.storage_dtype)],
-                    axis=-1,
-                )
+                if alg.fused_trunk:
+                    # actor + critic as one batched trunk (networks.joint_mean_value)
+                    mu, values = net.joint_mean_value(params, obs, critic_obs)
+                    sigma = jnp.broadcast_to(net.std(params), mu.shape)
+                    actions = mu + sigma * jax.random.normal(k_act, mu.shape)
+                    logp = net.log_prob(mu, sigma, actions)
+                else:
+                    actions, logp, mu, sigma = net.act(params, obs, k_act)
+                    values = net.evaluate(params, critic_obs)
+                if alg.pack_rollout:
+                    # obs||critic_obs pre-packed in the update's storage dtype:
+                    # the PPO update consumes THIS buffer, so the f32 obs stores
+                    # below are dead and XLA eliminates them (see _pack_shuffle)
+                    packed = jnp.concatenate(
+                        [obs.astype(alg.storage_dtype), critic_obs.astype(alg.storage_dtype)],
+                        axis=-1,
+                    )
+                else:
+                    packed = jnp.zeros((n, 0), alg.storage_dtype)
             env_state, out = env.step(env_state, actions)
             # timeout bootstrapping (ppo.py:190-191)
             rewards = out.rew + alg.gamma * values * out.extras["time_outs"]
@@ -251,7 +258,7 @@ class OnPolicyRunner:
             returns, advantages = alg.compute_returns(batch, last_values)
             ppo_state, update_metrics = alg.update(
                 state.ppo, batch, returns, advantages, k_update,
-                packed_wide=packed,
+                packed_wide=packed if alg.pack_rollout else None,
                 wide_sizes=(self.env.obs_dim, critic_obs.shape[-1]),
             )
 
