@@ -253,6 +253,119 @@ def test_pallas_post_fk_outputs_match_engine_fk(env):
     )
 
 
+def test_fold_step_matches_scan():
+    """Full env.step parity of the IN-KERNEL post-physics fold (plane
+    terrain: rewards/termination/trackers computed by envs/post_lanes inside
+    the kernel program) against the XLA post path — via the "lanes" backend,
+    which runs the exact kernel program as plain XLA ops. Multi-step so the
+    feet trackers, resets and episode sums feed back."""
+    n = 8
+
+    def build(use_pallas):
+        env_cfg, _ = task_registry.get_cfgs("GR1T1")
+        env_cfg.env.num_envs = n
+        env_cfg.control.decimation = 2
+        env_cfg.sim.use_pallas = use_pallas
+        e, _ = task_registry.make_env("GR1T1", env_cfg=env_cfg)
+        return e
+
+    env_scan, env_fold = build(False), build("lanes")
+    assert env_fold._post_fold and env_fold._pallas_decimation.post is not None
+    assert not env_scan._post_fold
+
+    # eager: the unrolled lanes program is ~7k ops/substep — jitting it on
+    # XLA-CPU takes many minutes (the _FakeRef tests avoid pallas_call for
+    # the same reason); eager parity at a shortened decimation covers the
+    # math, the TPU test covers the compiled kernel
+    with jax.disable_jit():
+        s0 = env_scan.init_state(jax.random.PRNGKey(0))
+        s1 = env_fold.init_state(jax.random.PRNGKey(0))
+        key = jax.random.PRNGKey(1)
+        for t in range(4):
+            key, k = jax.random.split(key)
+            actions = 0.3 * jax.random.normal(k, (n, env_scan.num_actions))
+            s0, o0 = env_scan.step(s0, actions)
+            s1, o1 = env_fold.step(s1, actions)
+        np.testing.assert_allclose(
+            np.asarray(o1.rew), np.asarray(o0.rew), rtol=1e-4, atol=1e-5,
+            err_msg=f"rew step {t}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(o1.reset), np.asarray(o0.reset), err_msg=f"reset step {t}"
+        )
+        np.testing.assert_allclose(
+            np.asarray(o1.obs), np.asarray(o0.obs), rtol=1e-4, atol=1e-5,
+            err_msg=f"obs step {t}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(o1.pri_obs), np.asarray(o0.pri_obs), rtol=1e-4, atol=1e-5,
+            err_msg=f"pri_obs step {t}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(s1.feet_air_time), np.asarray(s0.feet_air_time),
+            rtol=1e-5, atol=1e-6, err_msg=f"feet_air_time step {t}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(s1.episode_sums), np.asarray(s0.episode_sums),
+            rtol=1e-4, atol=1e-5, err_msg=f"episode_sums step {t}",
+        )
+
+
+def test_fold_kernel_packing_matches_lanes():
+    """The post stage through the real kernel body + (8,128) packing
+    (extra-input lanes, post-output lanes) against the lanes backend —
+    covers the schema/layout plumbing the full-step test bypasses."""
+    from wiki_grx_gym_tpu.sim import pallas_step as ps
+
+    n = 8
+    env_cfg, _ = task_registry.get_cfgs("GR1T1")
+    env_cfg.env.num_envs = n
+    env_cfg.control.decimation = 2
+    env_cfg.sim.use_pallas = "lanes"
+    env, _ = task_registry.make_env("GR1T1", env_cfg=env_cfg)
+    pall = env._pallas_decimation
+    assert pall.post is not None and pall.lanes
+
+    rng = np.random.RandomState(3)
+    phys, actions, last_actions, motor, delay, rand = _random_inputs(env, n)
+    last_qd = jnp.asarray(rng.randn(n, env.num_dof).astype(np.float32))
+    extra = {
+        "commands": jnp.asarray(rng.randn(n, 3).astype(np.float32)),
+        "last_last_actions": jnp.asarray(
+            rng.randn(n, env.num_dof).astype(np.float32) * 0.3
+        ),
+        "feet_air_time": jnp.asarray(rng.rand(n, env.num_feet).astype(np.float32)),
+        "feet_land_time": jnp.asarray(rng.rand(n, env.num_feet).astype(np.float32)),
+        "feet_contact_last": jnp.asarray(
+            (rng.rand(n, env.num_feet) > 0.5).astype(np.float32)
+        ),
+    }
+
+    with jax.disable_jit():
+        want = pall._call_lanes(
+            phys, actions, last_actions, motor, delay, rand, last_qd, None, extra
+        )
+        comp, nb, n_real = pall._pack(
+            phys, actions, last_actions, motor, delay, rand, last_qd, None, extra
+        )
+        assert nb == 1 and n_real == n
+        in_ref = _FakeRef(comp[:, 0:1].reshape(pall.c_in, 1, ps._SUB, ps._LANE))
+        out_ref = _FakeRef(jnp.zeros((pall.c_out, 1, ps._SUB, ps._LANE), jnp.float32))
+        pall._kernel(in_ref, out_ref)
+        flat = out_ref.arr.reshape(pall.c_out, ps.ENV_BLOCK)[:, :n]
+
+    def take(name):
+        off, cnt = pall.out_off[name]
+        return flat[off: off + cnt].T
+
+    want_post = want[-1]
+    for name, _ in pall.post_out:
+        np.testing.assert_allclose(
+            np.asarray(take(name)), np.asarray(want_post[name]),
+            rtol=1e-5, atol=1e-5, err_msg=name,
+        )
+
+
 def test_pallas_trimesh_env_routes_to_walls_kernel():
     """trimesh mesh_type must route the kernel to local_plane_walls (9
     ground lanes per point)."""

@@ -482,15 +482,30 @@ class LeggedEnv:
     # ------------------------------------------------------------------
 
     def _pallas_mode(self):
-        """None (XLA scan), "compiled", or "interpret" (see cfg.sim.use_pallas)."""
+        """None (XLA scan), "compiled", "interpret", or "lanes" (the kernel
+        program as plain XLA ops on (N,) lanes — CPU-testable full-fidelity
+        backend; see cfg.sim.use_pallas)."""
         up = getattr(self.cfg.sim, "use_pallas", "auto")
         if up is False or up == "off":
             return None
-        if up == "interpret":
-            return "interpret"
+        if up in ("interpret", "lanes"):
+            return up
         if up is True or up == "on":
             return "compiled"
         return "compiled" if jax.default_backend() == "tpu" else None
+
+    @functools.cached_property
+    def _post_fold(self) -> bool:
+        """True when the post-physics stage (rewards/termination/trackers)
+        runs INSIDE the decimation kernel (envs/post_lanes.LanePost):
+        kernel path + plane terrain (measured heights are identically zero
+        there) + non-heading commands (heading yaw needs post-physics state
+        before the rewards, legged_robot.py:321-326)."""
+        return (
+            self._pallas_mode() is not None
+            and self.terrain is None
+            and not self.cfg.commands.heading_command
+        )
 
     @functools.cached_property
     def _pallas_decimation(self):
@@ -507,6 +522,11 @@ class LeggedEnv:
             self.model, self.contact_params, self.sim_dt, self.self_pairs,
             terrain_mode=tmode,
         )
+        post = None
+        if self._post_fold:
+            from wiki_grx_gym_tpu.envs.post_lanes import LanePost
+
+            post = LanePost(self)
         deci = ScalarDecimation(
             sub, self.decimation, self.cfg.control.control_type,
             self.cfg.control.action_scale, np.asarray(self.p_gains),
@@ -514,8 +534,12 @@ class LeggedEnv:
             np.asarray(self.torque_limits), self.feet_bodies, self.feet_point_groups,
             post_bodies=self.post_fk_bodies,
             damping_coeff=self._implicit_damping_const,
+            post=post,
         )
-        return PallasDecimation(deci, interpret=self._pallas_mode() == "interpret")
+        mode = self._pallas_mode()
+        return PallasDecimation(
+            deci, interpret=mode == "interpret", lanes=mode == "lanes"
+        )
 
     @functools.cached_property
     def post_fk_bodies(self):
@@ -602,18 +626,30 @@ class LeggedEnv:
         tiles = self.terrain.extract_tiles(phys.base_pos[:, :2])
         return state.replace(ground_plane=self._sample_point_planes(pp, tiles=tiles))
 
-    def _run_decimation(self, state: EnvState, actions: jax.Array, delay: jax.Array):
+    def _run_decimation(self, state: EnvState, actions: jax.Array, delay: jax.Array,
+                        commands=None):
         """Dispatch the hot loop: Pallas VMEM mega-kernel (plane terrain) or
         the vmapped-engine lax.scan. Identical outputs
-        (tests/test_pallas.py)."""
+        (tests/test_pallas.py). ``commands``: post-resample commands for the
+        in-kernel post stage (fold path only)."""
         if self._pallas_mode() is not None:
+            extra = None
+            if self._post_fold:
+                extra = {
+                    "commands": commands[:, :3],
+                    "last_last_actions": state.last_last_actions,
+                    "feet_air_time": state.feet_air_time,
+                    "feet_land_time": state.feet_land_time,
+                    "feet_contact_last": state.feet_contact_last.astype(jnp.float32),
+                }
             return self._pallas_decimation(
                 state.physics, actions, state.last_actions, state.motor_strength,
                 delay[:, 0], state.rand,
                 last_qd=state.last_dof_vel,
                 plane=state.ground_plane,
+                extra=extra,
             )
-        return self._decimation_scan(state, actions, delay) + (None,)
+        return self._decimation_scan(state, actions, delay) + (None, None)
 
     def _decimation_scan(self, state: EnvState, actions: jax.Array, delay: jax.Array):
         n, f = self.num_envs, self.num_feet
@@ -679,146 +715,187 @@ class LeggedEnv:
         else:
             delay = jnp.zeros((n, 1))
 
-        phys, sum_force, sum_vxyz, sum_vrpy, torques, point_force, post_kin, point_pos = (
-            self._run_decimation(state, actions, delay)
+        # command resampling on schedule (legged_robot.py:317-318). Sampled
+        # BEFORE the decimation call: commands don't influence physics, and
+        # the in-kernel post stage (fold path) consumes them for rewards.
+        # The heading-mode yaw recomputation stays post-physics (it reads
+        # the new base quat, legged_robot.py:321-326).
+        episode_length = state.episode_length + 1
+        common_step = state.common_step + 1
+        resample = (episode_length % self.resample_interval) == 0
+        new_cmds = self._sample_commands(k_cmd, n, state.cmd_lin_vel_x_range)
+        commands = jnp.where(resample[:, None], new_cmds, state.commands)
+
+        phys, sum_force, sum_vxyz, sum_vrpy, torques, point_force, post_kin, point_pos, post_out = (
+            self._run_decimation(state, actions, delay, commands=commands)
         )
         avg_feet_contact_force = sum_force / self.decimation
         avg_feet_speed_xyz = sum_vxyz / self.decimation
         avg_feet_speed_rpy = sum_vrpy / self.decimation
-        dof_acc = (phys.qd - state.last_dof_vel) / self.dt
 
-        # ---- post-physics (legged_robot.py:269-334 / fftai:90-133) ----
-        episode_length = state.episode_length + 1
-        common_step = state.common_step + 1
-
-        # command resampling on schedule (legged_robot.py:317-318)
-        resample = (episode_length % self.resample_interval) == 0
-        new_cmds = self._sample_commands(k_cmd, n, state.cmd_lin_vel_x_range)
-        commands = jnp.where(resample[:, None], new_cmds, state.commands)
         commands = self._apply_heading_command(commands, phys.base_quat, n)
 
-        # fresh kinematics for pose-derived quantities: the Pallas kernel
-        # emits the final-state FK of exactly the consumed bodies
-        # (post_fk_bodies); the scan path recomputes it here
-        fb = jnp.asarray(self.feet_bodies, jnp.int32)
-        if post_kin is None:
-            kin = jax.vmap(forward_kinematics, in_axes=(None, 0, 0, 0, 0, 0))(
-                self.model, phys.base_quat, phys.base_ang_vel, phys.base_lin_vel, phys.q, phys.qd
-            )
-            feet_rel, feet_quat = kin.pos_rel[:, fb], kin.quat[:, fb]
-            frame_quat = lambda body: kin.quat[:, body]
-        else:
-            post_rel, post_quat = post_kin
-            slots = jnp.asarray([self._post_slot[b] for b in self.feet_bodies], jnp.int32)
-            feet_rel, feet_quat = post_rel[:, slots], post_quat[:, slots]
-            frame_quat = lambda body: post_quat[:, self._post_slot[body]]
-
-        base_quat = phys.base_quat
-        base_lin_vel = maths.quat_rotate_inverse(base_quat, phys.base_lin_vel)
-        base_ang_vel = maths.quat_rotate_inverse(base_quat, phys.base_ang_vel)
-        gravity_vec = jnp.asarray([0.0, 0.0, -1.0])
-        projected_gravity = maths.quat_rotate_inverse(base_quat, jnp.broadcast_to(gravity_vec, (n, 3)))
-
-        # measured terrain heights around the base (legged_robot.py:1235-1274)
-        measured_heights = self._measured_heights(phys, base_quat)
-        mean_heights = jnp.mean(measured_heights, axis=1)
-
+        time_out = episode_length > self.max_episode_length
         hscale = c.normalization.obs_scales.height_measurements
         target_h = c.rewards.base_height_target
-        base_heights_offset = (
-            jnp.mean(
-                jnp.clip(phys.base_pos[:, 2:3] - target_h - measured_heights, -1.0, 1.0) * hscale,
-                axis=1,
+
+        if post_out is not None:
+            # ---- post-physics FOLDED into the kernel (envs/post_lanes):
+            # rewards, termination channels, feet trackers and base-frame
+            # quantities arrive as kernel output lanes; only RNG-dependent
+            # logic (resets, pushes, noise) and the obs assembly stay XLA ----
+            base_lin_vel, base_ang_vel = post_out["blv"], post_out["bav"]
+            projected_gravity = post_out["pg"]
+            feet_contact = post_out["feet_contact"] > 0.5
+            contact_filt = post_out["contact_filt"] > 0.5
+            feet_air_time = post_out["feet_air_time_out"]
+            feet_land_time = post_out["feet_land_time_out"]
+            feet_height = post_out["feet_height"]
+            base_heights_offset = post_out["bho"][:, 0]
+            bad = post_out["bad"][:, 0] > 0.5
+            reset_buf = (
+                (post_out["term_contact"][:, 0] > 0.5)
+                | (post_out["tilt"][:, 0] > 0.5)
+                | time_out
+                | bad
             )
-        )
-        surround_heights_offset = (
-            jnp.clip(phys.base_pos[:, 2:3] - target_h - measured_heights, -1.0, 1.0) * hscale
-        )
-
-        # feet quantities
-        feet_pos = phys.base_pos[:, None, :] + feet_rel + maths.quat_apply(
-            feet_quat, jnp.broadcast_to(self.feet_offsets, (n, f, 3))
-        )
-        feet_height = feet_pos[..., 2] - mean_heights[:, None]  # (N, F)
-        feet_force = self._group_forces(point_force, self.feet_point_groups)  # (N,F,3)
-
-        # air/land trackers (fftai:108-133)
-        feet_contact = feet_force[..., 2] > 1.0
-        contact_filt = feet_contact | state.feet_contact_last
-        feet_first_contact = (state.feet_air_time > 0) & contact_filt
-        feet_air_time = state.feet_air_time + self.dt
-        feet_land_time = (state.feet_land_time + self.dt) * feet_contact
-
-        # termination (legged_robot.py:336-353): per-link contact force > 1
-        if self.termination_links:
-            term_force = self._group_forces(point_force, self.termination_groups)
-            term_contact = jnp.any(jnp.linalg.norm(term_force, axis=-1) > 1.0, axis=1)
-        else:
-            term_contact = jnp.zeros(n, bool)
-        tilt = jnp.abs(projected_gravity[:, 2]) < 0.33
-        time_out = episode_length > self.max_episode_length
-        # non-finite safety net: a numerically exploded env resets like a
-        # fallen one (the jax-native guardrail SURVEY.md §5 calls for; PhysX
-        # recovers such envs through its own clamping)
-        bad = ~(
-            jnp.all(jnp.isfinite(phys.base_pos), axis=1)
-            & jnp.all(jnp.isfinite(phys.base_quat), axis=1)
-            & jnp.all(jnp.isfinite(phys.q), axis=1)
-            & jnp.all(jnp.isfinite(phys.qd), axis=1)
-        )
-        reset_buf = term_contact | tilt | time_out | bad
-
-        if self.penalized_links:
-            pen_force = self._group_forces(point_force, self.penalized_groups)
-            pen_count = jnp.sum(
-                (jnp.linalg.norm(pen_force, axis=-1) > 0.1).astype(jnp.float32), axis=1
+            # plane terrain: measured heights are identically zero
+            measured_heights = jnp.zeros((n, self.num_height_points))
+            surround_heights_offset = jnp.broadcast_to(
+                jnp.clip(phys.base_pos[:, 2:3] - target_h, -1.0, 1.0) * hscale,
+                (n, self.num_height_points),
             )
+            # eval-only channel (dead code under the training jit)
+            feet_force = self._group_forces(point_force, self.feet_point_groups)
+            terms = [
+                post_out["rew_terms"][:, i] for i in range(len(self.reward_names))
+            ]
         else:
-            pen_count = jnp.zeros(n)
+            # ---- XLA post-physics (terrain modes / scan path / heading) ----
+            dof_acc = (phys.qd - state.last_dof_vel) / self.dt
+            # fresh kinematics for pose-derived quantities: the Pallas kernel
+            # emits the final-state FK of exactly the consumed bodies
+            # (post_fk_bodies); the scan path recomputes it here
+            fb = jnp.asarray(self.feet_bodies, jnp.int32)
+            if post_kin is None:
+                kin = jax.vmap(forward_kinematics, in_axes=(None, 0, 0, 0, 0, 0))(
+                    self.model, phys.base_quat, phys.base_ang_vel, phys.base_lin_vel, phys.q, phys.qd
+                )
+                feet_rel, feet_quat = kin.pos_rel[:, fb], kin.quat[:, fb]
+                frame_quat = lambda body: kin.quat[:, body]
+            else:
+                post_rel, post_quat = post_kin
+                slots = jnp.asarray([self._post_slot[b] for b in self.feet_bodies], jnp.int32)
+                feet_rel, feet_quat = post_rel[:, slots], post_quat[:, slots]
+                frame_quat = lambda body: post_quat[:, self._post_slot[body]]
 
-        # torso/forehead orientation channels
-        torso_pg = self._frame_projected_gravity(self.torso_frame, frame_quat, n, projected_gravity)
-        forehead_pg = self._frame_projected_gravity(self.forehead_frame, frame_quat, n, projected_gravity)
+            base_quat = phys.base_quat
+            base_lin_vel = maths.quat_rotate_inverse(base_quat, phys.base_lin_vel)
+            base_ang_vel = maths.quat_rotate_inverse(base_quat, phys.base_ang_vel)
+            gravity_vec = jnp.asarray([0.0, 0.0, -1.0])
+            projected_gravity = maths.quat_rotate_inverse(base_quat, jnp.broadcast_to(gravity_vec, (n, 3)))
 
-        ctx = RewardContext(
-            commands=commands,
-            base_lin_vel=base_lin_vel,
-            base_ang_vel=base_ang_vel,
-            base_projected_gravity=projected_gravity,
-            base_heights_offset=base_heights_offset,
-            base_height=phys.base_pos[:, 2] - mean_heights,
-            torso_projected_gravity=torso_pg,
-            forehead_projected_gravity=forehead_pg,
-            dof_pos=phys.q,
-            dof_vel=phys.qd,
-            dof_acc=dof_acc,
-            torques=torques,
-            actions=actions,
-            last_actions=state.last_actions,
-            last_last_actions=state.last_last_actions,
-            feet_contact=feet_contact,
-            feet_first_contact=feet_first_contact.astype(jnp.float32),
-            feet_air_time=feet_air_time,
-            feet_land_time=feet_land_time,
-            feet_height=feet_height,
-            feet_contact_force=feet_force,
-            avg_feet_contact_force=avg_feet_contact_force,
-            avg_feet_speed_xyz=avg_feet_speed_xyz,
-            penalized_contact_count=pen_count,
-            reset_buf=reset_buf,
-            time_out_buf=time_out,
-        )
+            # measured terrain heights around the base (legged_robot.py:1235-1274)
+            measured_heights = self._measured_heights(phys, base_quat)
+            mean_heights = jnp.mean(measured_heights, axis=1)
 
-        # ---- rewards (legged_robot.py:355-375) ----
-        # All terms stacked to (N, R) and accumulated with ONE add: the
-        # per-term `.at[:, i].add` loop was R separate dynamic-update-slice
-        # fusions per policy step (measured on the v5e rollout profile).
-        terms = [
-            jnp.where(bad, 0.0, REWARDS[name](self, ctx) * self.reward_scales[name])
-            for name in self.reward_names
-        ]  # NaN-env rewards must not propagate
+            base_heights_offset = (
+                jnp.mean(
+                    jnp.clip(phys.base_pos[:, 2:3] - target_h - measured_heights, -1.0, 1.0) * hscale,
+                    axis=1,
+                )
+            )
+            surround_heights_offset = (
+                jnp.clip(phys.base_pos[:, 2:3] - target_h - measured_heights, -1.0, 1.0) * hscale
+            )
+
+            # feet quantities
+            feet_pos = phys.base_pos[:, None, :] + feet_rel + maths.quat_apply(
+                feet_quat, jnp.broadcast_to(self.feet_offsets, (n, f, 3))
+            )
+            feet_height = feet_pos[..., 2] - mean_heights[:, None]  # (N, F)
+            feet_force = self._group_forces(point_force, self.feet_point_groups)  # (N,F,3)
+
+            # air/land trackers (fftai:108-133)
+            feet_contact = feet_force[..., 2] > 1.0
+            contact_filt = feet_contact | state.feet_contact_last
+            feet_first_contact = (state.feet_air_time > 0) & contact_filt
+            feet_air_time = state.feet_air_time + self.dt
+            feet_land_time = (state.feet_land_time + self.dt) * feet_contact
+
+            # termination (legged_robot.py:336-353): per-link contact force > 1
+            if self.termination_links:
+                term_force = self._group_forces(point_force, self.termination_groups)
+                term_contact = jnp.any(jnp.linalg.norm(term_force, axis=-1) > 1.0, axis=1)
+            else:
+                term_contact = jnp.zeros(n, bool)
+            tilt = jnp.abs(projected_gravity[:, 2]) < 0.33
+            # non-finite safety net: a numerically exploded env resets like a
+            # fallen one (the jax-native guardrail SURVEY.md §5 calls for;
+            # PhysX recovers such envs through its own clamping)
+            bad = ~(
+                jnp.all(jnp.isfinite(phys.base_pos), axis=1)
+                & jnp.all(jnp.isfinite(phys.base_quat), axis=1)
+                & jnp.all(jnp.isfinite(phys.q), axis=1)
+                & jnp.all(jnp.isfinite(phys.qd), axis=1)
+            )
+            reset_buf = term_contact | tilt | time_out | bad
+
+            if self.penalized_links:
+                pen_force = self._group_forces(point_force, self.penalized_groups)
+                pen_count = jnp.sum(
+                    (jnp.linalg.norm(pen_force, axis=-1) > 0.1).astype(jnp.float32), axis=1
+                )
+            else:
+                pen_count = jnp.zeros(n)
+
+            # torso/forehead orientation channels
+            torso_pg = self._frame_projected_gravity(self.torso_frame, frame_quat, n, projected_gravity)
+            forehead_pg = self._frame_projected_gravity(self.forehead_frame, frame_quat, n, projected_gravity)
+
+            ctx = RewardContext(
+                commands=commands,
+                base_lin_vel=base_lin_vel,
+                base_ang_vel=base_ang_vel,
+                base_projected_gravity=projected_gravity,
+                base_heights_offset=base_heights_offset,
+                base_height=phys.base_pos[:, 2] - mean_heights,
+                torso_projected_gravity=torso_pg,
+                forehead_projected_gravity=forehead_pg,
+                dof_pos=phys.q,
+                dof_vel=phys.qd,
+                dof_acc=dof_acc,
+                torques=torques,
+                actions=actions,
+                last_actions=state.last_actions,
+                last_last_actions=state.last_last_actions,
+                feet_contact=feet_contact,
+                feet_first_contact=feet_first_contact.astype(jnp.float32),
+                feet_air_time=feet_air_time,
+                feet_land_time=feet_land_time,
+                feet_height=feet_height,
+                feet_contact_force=feet_force,
+                avg_feet_contact_force=avg_feet_contact_force,
+                avg_feet_speed_xyz=avg_feet_speed_xyz,
+                penalized_contact_count=pen_count,
+                reset_buf=reset_buf,
+                time_out_buf=time_out,
+            )
+
+            # ---- rewards (legged_robot.py:355-375) ----
+            # All terms stacked to (N, R) and accumulated with ONE add: the
+            # per-term `.at[:, i].add` loop was R separate dynamic-update-slice
+            # fusions per policy step (measured on the v5e rollout profile).
+            terms = [
+                jnp.where(bad, 0.0, REWARDS[name](self, ctx) * self.reward_scales[name])
+                for name in self.reward_names
+            ]  # NaN-env rewards must not propagate
+
         if self.termination_scale:
-            terms.append(REWARDS["termination"](self, ctx) * self.termination_scale)
+            # rewards.termination semantics: reset by fall, not by timeout
+            terms.append(
+                (reset_buf & ~time_out).astype(jnp.float32) * self.termination_scale
+            )
         if terms:
             term_stack = jnp.stack(terms, axis=1)  # (N, R) == all_reward_names
         else:

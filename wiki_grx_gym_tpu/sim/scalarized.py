@@ -621,6 +621,7 @@ class ScalarDecimation:
         feet_point_groups: Sequence[Sequence[int]],
         post_bodies: Sequence[int] = (),
         damping_coeff: np.ndarray = None,
+        post=None,
     ):
         self.sub = sub
         self.decimation = int(decimation)
@@ -641,6 +642,10 @@ class ScalarDecimation:
         self.damping_coeff = (
             None if damping_coeff is None else np.asarray(damping_coeff, np.float64)
         )
+        # lane-form post-physics program (envs/post_lanes.LanePost):
+        # rewards/termination/feet trackers computed in-kernel after the
+        # decimation loop; None keeps the env's XLA post path
+        self.post = post
 
     def torques(self, state, use_act, motor_strength, last_qd=None):
         """legged_env._pd_torques in component form."""
@@ -665,12 +670,15 @@ class ScalarDecimation:
             taus.append(_clip(t * motor_strength[i], -lim, lim))
         return taus
 
-    def run(self, state, actions, last_actions, motor_strength, delay, last_qd=None):
+    def run(self, state, actions, last_actions, motor_strength, delay, last_qd=None,
+            extra=None):
         """Full decimation loop. ``delay`` is a per-env lane of substeps.
 
         Returns (state, acc) with acc: ``force_sum`` [F], ``vxyz_sum``
         [F][3], ``vrpy_sum`` [F][3], ``tau`` [D] (final substep),
-        ``point_force`` [P][3] (final substep)."""
+        ``point_force`` [P][3] (final substep). With a ``post`` program,
+        ``acc["post"]`` carries its output lanes (``extra`` per
+        ``post.extra_schema``; ``last_qd`` doubles as its last_dof_vel)."""
         f = len(self.feet_bodies)
         zeros = jnp.zeros_like(delay)
         force_sum = [zeros for _ in range(f)]
@@ -730,6 +738,10 @@ class ScalarDecimation:
                     rel = _add(pos_rel[b], _qapply(quats[b], off))
                     pp.append([lane(c) for c in _add(state["pos"], rel)])
                 acc["point_pos"] = pp
+        if self.post is not None:
+            acc["post"] = self.post.run(
+                state, acc, actions, last_actions, extra, last_qd
+            )
         return state, acc
 
 
