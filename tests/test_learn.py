@@ -173,6 +173,7 @@ def test_adaptive_lr_rules():
     np.testing.assert_allclose(float(alg._adapt_lr(lr, jnp.asarray(0.03))), 1e-4, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_runner_short_training_and_checkpoint(tmp_path):
     env_cfg, train_cfg = small_cfgs(n_envs=8, steps=4, mb=2, epochs=1)
     env, _ = task_registry.make_env("GR1T1", env_cfg=env_cfg)
@@ -200,6 +201,7 @@ def test_runner_short_training_and_checkpoint(tmp_path):
     np.testing.assert_allclose(np.asarray(p1(obs)), np.asarray(p2(obs)), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_multichip_dryrun_8_devices():
     """The driver's dry-run contract: full train step on a fake 8-device
     mesh with dp x mp sharding."""
@@ -247,6 +249,7 @@ def test_get_load_path_resolves_orbax_checkpoints(tmp_path):
         get_load_path(str(tmp_path / "nope"))
 
 
+@pytest.mark.slow
 def test_explicit_checkpoint_resume_end_to_end(tmp_path):
     """`--resume --load_run <run> --checkpoint N` through make_alg_runner
     must restore that exact checkpoint (task_registry.py:150-155 parity)."""
@@ -274,6 +277,7 @@ def test_explicit_checkpoint_resume_end_to_end(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_resume_flow_uses_loaded_state(tmp_path):
     """task_registry resume path: load() must feed the state that learn()
     continues from (params + iteration counter)."""

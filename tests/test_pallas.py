@@ -253,6 +253,7 @@ def test_pallas_post_fk_outputs_match_engine_fk(env):
     )
 
 
+@pytest.mark.slow
 def test_fold_step_matches_scan():
     """Full env.step parity of the IN-KERNEL post-physics fold (plane
     terrain: rewards/termination/trackers computed by envs/post_lanes inside

@@ -43,6 +43,7 @@ def mesh8():
     return make_mesh(num_mp=1, devices=jax.devices()[:8])
 
 
+@pytest.mark.slow
 def test_rollout_phase_has_zero_collectives(mesh8):
     """The compiled 16-step rollout (policy fwd + physics + storage) over a
     dp8 mesh must contain no cross-device communication at all — envs are
@@ -59,6 +60,7 @@ def test_rollout_phase_has_zero_collectives(mesh8):
     assert not found, f"rollout phase emits collectives: {found}"
 
 
+@pytest.mark.slow
 def test_update_phase_has_no_gather_collectives(mesh8):
     """The PPO update on a dp8 mesh may all-reduce (gradients, scalar loss
     means) but must not all-gather/all-to-all — the group-local minibatch
@@ -111,6 +113,7 @@ def test_update_phase_has_no_gather_collectives(mesh8):
     assert "all-to-all" not in found, f"update reshuffles batch across devices: {found}"
 
 
+@pytest.mark.slow
 def test_dp1_vs_dp8_training_step_equivalence(mesh8):
     """The same seed must produce the same training step whether the program
     runs replicated on one device or sharded over eight (permutation groups
@@ -146,6 +149,7 @@ def test_dp1_vs_dp8_training_step_equivalence(mesh8):
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=4e-5)
 
 
+@pytest.mark.slow
 def test_dp1_vs_dp8_equivalence_bf16_default_path(mesh8):
     """Sharding coverage for the SHIPPED defaults (update_dtype=bfloat16,
     in-rollout packing): one training step, dp1 vs dp8, at
@@ -189,6 +193,7 @@ def test_dp1_vs_dp8_equivalence_bf16_default_path(mesh8):
         np.testing.assert_allclose(a, b, rtol=1e-2, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_dp8_update_no_gather_collectives_bf16_default_path(mesh8):
     """HLO contract on the shipped-default iteration (bf16 update, packed
     rollout) over dp8: gradient all-reduce only — no
@@ -210,6 +215,7 @@ def test_dp8_update_no_gather_collectives_bf16_default_path(mesh8):
     assert "all-to-all" not in found, f"default path reshuffles across devices: {found}"
 
 
+@pytest.mark.slow
 def test_mp1_vs_mp2_training_step_equivalence():
     """TP must be a pure config change (the SURVEY §2.6 "shard_map-ready"
     claim): the same seed produces the same training step on a dp4 mesh
@@ -242,6 +248,7 @@ def test_mp1_vs_mp2_training_step_equivalence():
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=4e-5)
 
 
+@pytest.mark.slow
 def test_mp2_update_collectives_are_reduce_only():
     """At dp4 x mp2 the update may all-reduce (dp gradient sum + the TP
     row-parallel partial sums) but must not all-to-all; the minibatch
@@ -260,6 +267,7 @@ def test_mp2_update_collectives_are_reduce_only():
     assert "all-to-all" not in found, f"unexpected reshuffle collectives: {found}"
 
 
+@pytest.mark.slow
 def test_rollout_zero_collectives_on_heightfield_curriculum(mesh8):
     """Terrain mode must stay shard-safe: the rollout over a dp8 mesh with a
     heightfield curriculum (terrain levels/origins in state, tile-extraction

@@ -78,6 +78,7 @@ def test_seq_replay_matches_stepwise_with_resets():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_gr1t1_lstm_trains():
     env_cfg, train_cfg = task_registry.get_cfgs("GR1T1_lstm")
     env_cfg.env.num_envs = 8
@@ -113,6 +114,7 @@ def test_gr1t1_lstm_trains():
     np.testing.assert_allclose(np.asarray(a3), np.asarray(a1), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_lstm_checkpoint_roundtrip(tmp_path):
     env_cfg, train_cfg = task_registry.get_cfgs("GR1T1_lstm")
     env_cfg.env.num_envs = 8

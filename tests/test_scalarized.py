@@ -112,6 +112,7 @@ def test_substep_matches_engine(env):
     )
 
 
+@pytest.mark.slow
 def test_multi_substep_trajectory_matches_engine(env):
     """10 chained substeps (one policy step of physics) stay within
     tolerance — catches compounding formulation drift."""
@@ -154,6 +155,7 @@ def test_multi_substep_trajectory_matches_engine(env):
         )
 
 
+@pytest.mark.slow
 def test_decimation_matches_env_scan(env):
     """The full ScalarDecimation loop (PD + 10 substeps + foot accumulators)
     against the env's lax.scan hot loop, via a full env.step comparison on
@@ -245,6 +247,7 @@ def test_decimation_matches_env_scan(env):
         )
 
 
+@pytest.mark.slow
 def test_local_plane_contact_matches_engine_on_slope(env):
     """terrain_mode="local_plane" vs the engine evaluating the true height
     function: on a planar slope the per-point local planes ARE the terrain,
@@ -477,6 +480,7 @@ def _stairs_error_rollout(env, base_x, seed, substeps=4):
     return want, got, travel
 
 
+@pytest.mark.slow
 def test_local_plane_exact_mid_tread_on_stairs(env):
     """Envs whose contact points (and the 5-tap stencil) stay inside one
     flat tread of a bilinear stairs heightfield: the local planes ARE the
@@ -493,6 +497,7 @@ def test_local_plane_exact_mid_tread_on_stairs(env):
         )
 
 
+@pytest.mark.slow
 def test_local_plane_error_bounded_on_riser_cells(env):
     """Envs straddling a stair riser — where the frozen local plane is a bad
     model at cell edges: the kernel-vs-engine divergence must stay bounded

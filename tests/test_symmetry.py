@@ -90,6 +90,7 @@ def test_loss_zero_for_symmetric_policy_positive_otherwise(env):
     assert float(loss_fn(params, mb)) > 1e-6
 
 
+@pytest.mark.slow
 def test_training_with_symmetry_coef_runs(env):
     env_cfg, train_cfg = task_registry.get_cfgs("GR1T1")
     env_cfg.env.num_envs = 8

@@ -173,6 +173,7 @@ def test_block_pyramid_tiles_are_field_windows(small_terrain_cfg):
         assert b <= max(py - reach, 0) and min(py + reach, hf.shape[1] - 2) <= b + t - 2
 
 
+@pytest.mark.slow
 def test_rough_terrain_env_steps(small_terrain_cfg):
     """GR1T1 on curriculum heightfield: env builds, steps, measures heights."""
     cfg = small_terrain_cfg
