@@ -83,8 +83,14 @@ def eval_tracking(params, task, mesh_type, commands, num_envs=64,
             policy.reset()
         env_state = state.env_state
         if level is not None and hasattr(env_state, "terrain_levels"):
+            # pin the level AND move the spawn origins to that level's row
+            # (reset alone keeps the init-sampled origins; legged_env
+            # _reset_where only recomputes origins on curriculum updates)
             lv = jnp.full((num_envs,), level, env_state.terrain_levels.dtype)
-            env_state = env_state.replace(terrain_levels=lv)
+            env_state = env_state.replace(
+                terrain_levels=lv,
+                env_origins=env.terrain.terrain_origins[lv, env_state.terrain_types],
+            )
         env_state, o = env.reset(env_state)
         obs = o.obs
         cmd = jnp.broadcast_to(jnp.asarray([vx, vy, wz]), (num_envs, 3))
