@@ -73,7 +73,11 @@ def update_micro(tag, num_envs=4096, **alg_over):
     ws = (env.obs_dim, critic_obs.shape[-1])
 
     pack = jax.jit(
-        lambda b, r, a, p: alg._pack_shuffle(b, r, a, k, packed_wide=p, wide_sizes=ws)
+        # [0]/[3] = the two shuffled buffers; the remaining tuple entries
+        # are python ints/strings (not jittable return types)
+        lambda b, r, a, p: alg._pack_shuffle(
+            b, r, a, k, packed_wide=p, wide_sizes=ws
+        )[0:4:3]
     )
     t_pack = time_fn(pack, batch, returns, advantages, packed, iters=10)
 
@@ -159,13 +163,14 @@ def rollout_micro(num_envs=4096):
 def main():
     out("env", platform=jax.devices()[0].platform)
 
-    for n, iters in ((4096, 30), (8192, 15)):
-        r = bench.bench_config(n, iters)
-        out("perf", num_envs=n, fps=round(r["fps"], 1), iter_ms=round(r["iter_ms"], 2),
-            collection_ms=round(r["collection_ms"], 2),
-            learn_ms=round(r["learn_ms"], 2), mfu=round(r["mfu_vs_bf16_peak"], 4))
+    if "--skip-perf" not in sys.argv:
+        for n, iters in ((4096, 30), (8192, 15)):
+            r = bench.bench_config(n, iters)
+            out("perf", num_envs=n, fps=round(r["fps"], 1), iter_ms=round(r["iter_ms"], 2),
+                collection_ms=round(r["collection_ms"], 2),
+                learn_ms=round(r["learn_ms"], 2), mfu=round(r["mfu_vs_bf16_peak"], 4))
 
-    rollout_micro()
+        rollout_micro()
 
     update_micro("base")
     update_micro("ud_f32", update_dtype="float32")

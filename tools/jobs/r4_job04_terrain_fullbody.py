@@ -205,8 +205,83 @@ def terrain_micro(mesh_type="heightfield", n=4096):
         exact=exact_f, note="includes its own extraction+tile_min")
 
 
+def rollout_scan_micro(n=4096, T=64):
+    """In-scan per-step attribution of the plane rollout (the tunnel's
+    ~1.5-3 ms dispatch latency makes single-call timing useless; each
+    phase is timed as a 64-iteration lax.scan inside ONE jit)."""
+    from wiki_grx_gym_tpu.envs import task_registry
+
+    env_cfg, train_cfg = task_registry.get_cfgs("GR1T1")
+    env_cfg.env.num_envs = n
+    env, _ = task_registry.make_env("GR1T1", env_cfg=env_cfg)
+    from wiki_grx_gym_tpu.learn.runner import OnPolicyRunner
+
+    runner = OnPolicyRunner(env, train_cfg, log_dir=None)
+    state = runner.init_state(init_at_random_ep_len=True)
+    es = state.env_state
+    actions = 0.3 * jax.random.normal(jax.random.PRNGKey(2), (n, env.num_actions))
+    delay = jnp.zeros((n,))
+    extra = {
+        "commands": es.commands[:, :3],
+        "last_last_actions": es.last_last_actions,
+        "feet_air_time": es.feet_air_time,
+        "feet_land_time": es.feet_land_time,
+        "feet_contact_last": es.feet_contact_last.astype(jnp.float32),
+    }
+
+    def kernel_scan(phys):
+        def step(p, _):
+            p2, *_rest = env._pallas_decimation(
+                p, actions, actions, es.motor_strength, delay, es.rand,
+                last_qd=es.last_dof_vel, plane=None, extra=extra,
+            )
+            return p2, None
+        return jax.lax.scan(step, phys, None, length=T)[0]
+
+    t_kernel = time_fn(jax.jit(kernel_scan), es.physics, iters=10)
+
+    net, params = runner.net, state.ppo.params
+
+    def policy_scan(obs):
+        def step(o, _):
+            a, logp, mu, sigma = net.act(params, o, jax.random.PRNGKey(0))
+            v = net.evaluate(params, state.critic_obs)
+            # data dependence so the loop body cannot be hoisted
+            o = o * (1.0 + 1e-12 * v[:, None]) + 1e-12 * jnp.pad(
+                a, ((0, 0), (0, o.shape[1] - a.shape[1]))
+            )
+            return o, None
+        return jax.lax.scan(step, obs, None, length=T)[0]
+
+    t_policy = time_fn(jax.jit(policy_scan), state.obs, iters=10)
+
+    def env_scan(st):
+        def step(s, _):
+            s2, o = env.step(s, actions)
+            return s2, None
+        return jax.lax.scan(step, st, None, length=T)[0]
+
+    t_env = time_fn(jax.jit(env_scan), es, iters=10)
+
+    rollout = jax.jit(
+        lambda st: runner._rollout(st.env_state, st.obs, st.critic_obs,
+                                   st.ppo.params, st.rng)[0]
+    )
+    t_roll = time_fn(rollout, state, iters=10)
+
+    out("rollout_scan_micro", num_envs=n, T=T,
+        kernel_scan_ms=round(t_kernel * 1e3, 2),
+        policy_scan_ms=round(t_policy * 1e3, 2),
+        env_step_scan_ms=round(t_env * 1e3, 2),
+        full_rollout_ms=round(t_roll * 1e3, 2),
+        post_xla_ms=round((t_env - t_kernel) * 1e3, 2),
+        storage_rng_ms=round((t_roll - t_env - t_policy) * 1e3, 2))
+
+
 def main():
     out("env", platform=jax.devices()[0].platform)
+
+    rollout_scan_micro()
 
     terrain_micro("heightfield")
     terrain_micro("trimesh")
