@@ -25,8 +25,8 @@ import jax
 import jax.numpy as jnp
 
 
-def out(tag, **kw):
-    print(json.dumps({"tag": tag, **kw}), flush=True)
+def out(_tag, **kw):
+    print(json.dumps({"tag": _tag, **kw}), flush=True)
 
 
 PLANE_COMMANDS = [

@@ -29,8 +29,8 @@ import bench
 from tools.jobs.r4_job02_reval import PLANE_COMMANDS, eval_tracking, train_run
 
 
-def out(tag, **kw):
-    print(json.dumps({"tag": tag, **kw}), flush=True)
+def out(_tag, **kw):
+    print(json.dumps({"tag": _tag, **kw}), flush=True)
 
 
 def time_fn(fn, *args, iters=20, warmup=2):

@@ -37,8 +37,8 @@ from tools.jobs.r4_job02_reval import (
 )
 
 
-def out(tag, **kw):
-    print(json.dumps({"tag": tag, **kw}), flush=True)
+def out(_tag, **kw):
+    print(json.dumps({"tag": _tag, **kw}), flush=True)
 
 
 def time_fn(fn, *args, iters=50, warmup=3):
