@@ -341,3 +341,38 @@ def test_full_body_tasks_have_active_rewards():
         # 0.01 the adaptive-LR rule pins the LR at its 1e-5 floor for the
         # whole run and the 32-DOF policy never learns (measured, r2 job03)
         assert train_cfg.algorithm.desired_kl == 0.03, task
+
+
+def test_dr_sampler_distributions():
+    """DR sampler modes (gymutil.generate_random_samples:521-583 parity):
+    loguniform/gaussian per-property distributions and the bucketing knob
+    (legged_robot.py:550-563 64-bucket friction; 0 = continuous)."""
+    import jax
+
+    from wiki_grx_gym_tpu.utils import maths
+
+    key = jax.random.PRNGKey(0)
+    lu = maths.sample_distribution(key, (0.1, 10.0), (4096,), "loguniform")
+    assert float(lu.min()) >= 0.1 and float(lu.max()) <= 10.0
+    # log-uniform: the median sits at the geometric mean, not the midpoint
+    assert 0.6 < float(jnp.median(lu)) < 1.7
+    ga = maths.sample_distribution(key, (2.0, 0.25), (4096,), "gaussian")
+    assert abs(float(ga.mean()) - 2.0) < 0.05
+    assert abs(float(ga.std()) - 0.5) < 0.05
+
+    env_cfg, _ = task_registry.get_cfgs("GR1T1")
+    env_cfg.env.num_envs = 256
+    env_cfg.domain_rand.friction_distribution = "loguniform"
+    env_cfg.domain_rand.friction_range = [0.2, 1.0]
+    env_cfg.domain_rand.friction_buckets = 0          # continuous
+    env_cfg.domain_rand.restitution_buckets = 8
+    env_cfg.domain_rand.base_mass_distribution = "gaussian"
+    env_cfg.domain_rand.multiply_base_mass_range = [1.0, 0.0025]
+    env, _ = task_registry.make_env("GR1T1", env_cfg=env_cfg)
+    state = env.init_state(jax.random.PRNGKey(1))
+    fr = np.asarray(state.rand.friction)
+    assert fr.min() >= 0.2 and fr.max() <= 1.0
+    assert len(np.unique(fr)) > 64  # continuous, not bucketed
+    assert len(np.unique(np.asarray(state.rand.restitution))) <= 8
+    ms = np.asarray(state.rand.base_mass_scale)
+    assert abs(ms.mean() - 1.0) < 0.02 and 0.02 < ms.std() < 0.08

@@ -165,18 +165,31 @@ class LeggedRobotCfg(BaseConfig):
         actuation_delay_std = 2.0
 
     class domain_rand:
+        # per-property sampling distribution: "uniform", "loguniform", or
+        # "gaussian" (range read as (mu, var)) — the gymutil DR sampler
+        # modes (gymutil.py:521-583). The GRx configs use uniform.
         randomize_friction = True
         friction_range = [0.1, 1.0]
+        friction_distribution = "uniform"
+        # bucketed sampling as `_process_rigid_shape_props`
+        # (legged_robot.py:550-563): draw num_buckets values, assign envs to
+        # buckets (PhysX materials are per-shape; bucketing bounds their
+        # count). 0 = continuous per-env sampling (no bucketing).
+        friction_buckets = 64
         randomize_restitution = True
         restitution_range = [0.0, 0.5]
+        restitution_distribution = "uniform"
+        restitution_buckets = 64
         randomize_base_mass = True
         multiply_base_mass_range = [0.9, 1.1]
+        base_mass_distribution = "uniform"
         randomize_base_com = True
         add_base_com_range_x = [-0.1, 0.1]
         add_base_com_range_y = [-0.1, 0.1]
         add_base_com_range_z = [-0.1, 0.1]
         randomize_motor_strength = True
         multiply_motor_strength = [0.9, 1.1]
+        motor_strength_distribution = "uniform"
         push_robots = True
         push_interval_s = 10.0
         max_push_vel_xy = 0.5

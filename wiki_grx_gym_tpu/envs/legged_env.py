@@ -338,32 +338,49 @@ class LeggedEnv:
         keys = jax.random.split(key, 12)
 
         dr = c.domain_rand
+
+        def bucketed(k_val, k_ids, rng_, dist, num_buckets):
+            """Bucketed property sampling (legged_robot.py:550-563: 64
+            friction buckets bound the PhysX material count; gymutil
+            check_buckets:622 is the reference's guard on that count —
+            here bucketing is purely a fidelity knob, 0 = continuous)."""
+            if num_buckets:
+                vals = maths.sample_distribution(k_val, rng_, (int(num_buckets),), dist)
+                ids = jax.random.randint(k_ids, (n,), 0, int(num_buckets))
+                return vals[ids]
+            return maths.sample_distribution(k_val, rng_, (n,), dist)
+
         if dr.randomize_friction:
-            # 64-bucket friction exactly as legged_robot.py:550-563
-            buckets = maths.uniform(keys[0], dr.friction_range[0], dr.friction_range[1], (64,))
-            ids = jax.random.randint(keys[1], (n,), 0, 64)
-            friction = buckets[ids]
+            friction = bucketed(
+                keys[0], keys[1], dr.friction_range,
+                getattr(dr, "friction_distribution", "uniform"),
+                getattr(dr, "friction_buckets", 64),
+            )
         else:
             friction = jnp.ones(n)
         if dr.randomize_restitution:
-            buckets = maths.uniform(
-                keys[2], dr.restitution_range[0], dr.restitution_range[1], (64,)
+            restitution = bucketed(
+                keys[2], keys[3], dr.restitution_range,
+                getattr(dr, "restitution_distribution", "uniform"),
+                getattr(dr, "restitution_buckets", 64),
             )
-            ids = jax.random.randint(keys[3], (n,), 0, 64)
-            restitution = buckets[ids]
         else:
             restitution = jnp.zeros(n)
         mass_scale = (
-            maths.uniform(keys[4], dr.multiply_base_mass_range[0], dr.multiply_base_mass_range[1], (n,))
+            maths.sample_distribution(
+                keys[4], dr.multiply_base_mass_range, (n,),
+                getattr(dr, "base_mass_distribution", "uniform"),
+            )
             if dr.randomize_base_mass
             else jnp.ones(n)
         )
+        com_dist = getattr(dr, "base_com_distribution", "uniform")
         com_offset = (
             jnp.stack(
                 [
-                    maths.uniform(keys[5], dr.add_base_com_range_x[0], dr.add_base_com_range_x[1], (n,)),
-                    maths.uniform(keys[6], dr.add_base_com_range_y[0], dr.add_base_com_range_y[1], (n,)),
-                    maths.uniform(keys[7], dr.add_base_com_range_z[0], dr.add_base_com_range_z[1], (n,)),
+                    maths.sample_distribution(keys[5], dr.add_base_com_range_x, (n,), com_dist),
+                    maths.sample_distribution(keys[6], dr.add_base_com_range_y, (n,), com_dist),
+                    maths.sample_distribution(keys[7], dr.add_base_com_range_z, (n,), com_dist),
                 ],
                 axis=-1,
             )
@@ -371,7 +388,10 @@ class LeggedEnv:
             else jnp.zeros((n, 3))
         )
         motor_strength = (
-            maths.uniform(keys[8], dr.multiply_motor_strength[0], dr.multiply_motor_strength[1], (n, d))
+            maths.sample_distribution(
+                keys[8], dr.multiply_motor_strength, (n, d),
+                getattr(dr, "motor_strength_distribution", "uniform"),
+            )
             if dr.randomize_motor_strength
             else jnp.ones((n, d))
         )

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _EPS = 1e-9
 
@@ -252,6 +253,26 @@ def uniform(key: jax.Array, lo, hi, shape) -> jax.Array:
     """Uniform sample in [lo, hi) — the ``torch_rand_float`` equivalent
     (torch_utils.py:194-196)."""
     return jax.random.uniform(key, shape, minval=lo, maxval=hi, dtype=jnp.float32)
+
+
+def sample_distribution(key: jax.Array, rng, shape, distribution="uniform") -> jax.Array:
+    """Domain-randomization sampler, the counterpart of isaacgym's
+    ``gymutil.generate_random_samples`` (gymutil.py:521-583):
+
+    - ``uniform``: ``rng = (lo, hi)`` -> U[lo, hi);
+    - ``loguniform``: ``rng = (lo, hi)``, both > 0 -> exp(U[ln lo, ln hi));
+    - ``gaussian``: ``rng = (mu, var)`` -> N(mu, sqrt(var)) (the reference
+      parameterizes by (mu, var), gymutil.py:551-568).
+    """
+    lo, hi = float(rng[0]), float(rng[1])
+    if distribution == "uniform":
+        return uniform(key, lo, hi, shape)
+    if distribution == "loguniform":
+        assert lo > 0.0 and hi > 0.0, "loguniform needs a positive range"
+        return jnp.exp(uniform(key, float(np.log(lo)), float(np.log(hi)), shape))
+    if distribution == "gaussian":
+        return lo + jnp.sqrt(hi) * jax.random.normal(key, shape, dtype=jnp.float32)
+    raise ValueError(f"unknown DR distribution {distribution!r}")
 
 
 def rand_sqrt_uniform(key: jax.Array, lo, hi, shape) -> jax.Array:
