@@ -17,11 +17,25 @@ reference-equivalent contact subset, and an analytic MFU estimate.
 """
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+# persistent XLA compilation cache: the full-training-iteration programs
+# (incl. the Mosaic mega-kernel) take minutes to compile cold; the cache
+# makes repeat bench runs start in seconds
+try:
+    import jax as _jax
+
+    _cache = str(Path(__file__).resolve().parent / ".jax_cache")
+    os.makedirs(_cache, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
 
 BASELINE_ENV_STEPS_PER_S = 100_000.0
 V5E_BF16_PEAK = 197e12   # TFLOP/s, one v5e chip (public spec)
