@@ -312,10 +312,12 @@ def test_fold_step_matches_scan():
         )
 
 
-def test_fold_kernel_packing_matches_lanes():
+@pytest.mark.parametrize("kernel_loop", ["unroll", "fori"])
+def test_fold_kernel_packing_matches_lanes(kernel_loop):
     """The post stage through the real kernel body + (8,128) packing
     (extra-input lanes, post-output lanes) against the lanes backend —
-    covers the schema/layout plumbing the full-step test bypasses."""
+    covers the schema/layout plumbing the full-step test bypasses.
+    Parametrized over the substep loop modes (cfg.sim.kernel_loop)."""
     from wiki_grx_gym_tpu.sim import pallas_step as ps
 
     n = 8
@@ -323,9 +325,11 @@ def test_fold_kernel_packing_matches_lanes():
     env_cfg.env.num_envs = n
     env_cfg.control.decimation = 2
     env_cfg.sim.use_pallas = "lanes"
+    env_cfg.sim.kernel_loop = kernel_loop
     env, _ = task_registry.make_env("GR1T1", env_cfg=env_cfg)
     pall = env._pallas_decimation
     assert pall.post is not None and pall.lanes
+    assert pall.deci.loop_mode == kernel_loop
 
     rng = np.random.RandomState(3)
     phys, actions, last_actions, motor, delay, rand = _random_inputs(env, n)

@@ -85,8 +85,13 @@ class LeggedRobotCfg(BaseConfig):
         contact_self_collision_stiffness = 1.0e5
         # physics hot-loop backend: "auto" = Pallas VMEM mega-kernel on TPU
         # for plane terrain (sim/pallas_step.py), XLA lax.scan elsewhere;
-        # True/False force it ("interpret" = Pallas interpreter, tests only)
+        # True/False force it ("interpret" = Pallas interpreter; "lanes" =
+        # the kernel program as plain XLA on (N,) lanes — tests only)
         use_pallas = "auto"
+        # kernel substep loop: "unroll" (decimation copies of the substep
+        # program) or "fori" (one copy in a lax.fori_loop — ~10x smaller
+        # program, cold Mosaic compile minutes -> tens of seconds)
+        kernel_loop = "unroll"
 
     class env:
         num_envs = 4096

@@ -556,6 +556,7 @@ class LeggedEnv:
             damping_coeff=self._implicit_damping_const,
             post=post,
         )
+        deci.loop_mode = getattr(self.cfg.sim, "kernel_loop", "unroll")
         mode = self._pallas_mode()
         return PallasDecimation(
             deci, interpret=mode == "interpret", lanes=mode == "lanes"

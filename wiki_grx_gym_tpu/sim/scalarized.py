@@ -646,6 +646,12 @@ class ScalarDecimation:
         # rewards/termination/feet trackers computed in-kernel after the
         # decimation loop; None keeps the env's XLA post path
         self.post = post
+        # substep loop mode: "unroll" emits decimation copies of the substep
+        # program (maximum scheduling freedom); "fori" wraps ONE copy in a
+        # lax.fori_loop — ~10x smaller program, cutting the Mosaic kernel's
+        # cold compile from minutes to tens of seconds (set via
+        # cfg.sim.kernel_loop)
+        self.loop_mode = "unroll"
 
     def torques(self, state, use_act, motor_strength, last_qd=None):
         """legged_env._pd_torques in component form."""
@@ -684,11 +690,9 @@ class ScalarDecimation:
         force_sum = [zeros for _ in range(f)]
         vxyz_sum = [[zeros] * 3 for _ in range(f)]
         vrpy_sum = [[zeros] * 3 for _ in range(f)]
-        taus = None
-        aux = None
 
-        for i in range(self.decimation):
-            gate = jnp.asarray(float(i)) < delay
+        def substep_i(i_f32, state, force_sum, vxyz_sum, vrpy_sum):
+            gate = i_f32 < delay
             use_act = [
                 jnp.where(gate, last_actions[d], actions[d]) for d in range(self.sub.nd)
             ]
@@ -699,6 +703,9 @@ class ScalarDecimation:
                  for d in range(self.sub.nd)]
             )
             state, aux = self.sub.substep(state, taus, joint_damp=damp)
+            force_sum = list(force_sum)
+            vxyz_sum = [list(v) for v in vxyz_sum]
+            vrpy_sum = [list(v) for v in vrpy_sum]
             for g in range(f):
                 pts = self.feet_point_groups[g]
                 fx = sum(aux["point_force"][p][0] for p in pts)
@@ -711,13 +718,39 @@ class ScalarDecimation:
                 v_lin = _add(tw[3:], _cross(tw[:3], rel))
                 vxyz_sum[g] = [vxyz_sum[g][k] + jnp.abs(v_lin[k]) for k in range(3)]
                 vrpy_sum[g] = [vrpy_sum[g][k] + jnp.abs(tw[k]) for k in range(3)]
+            return state, force_sum, vxyz_sum, vrpy_sum, taus, aux["point_force"]
+
+        if self.loop_mode == "fori":
+            # one substep program wrapped in a fori_loop: ~decimation-fold
+            # smaller kernel, minutes -> tens of seconds Mosaic compile
+            import jax
+
+            taus0 = [zeros for _ in range(self.sub.nd)]
+            pf0 = [[zeros] * 3 for _ in range(self.sub.np_)]
+
+            def body(i, carry):
+                state, fs, vx, vr, _, _ = carry
+                return substep_i(jnp.asarray(i, jnp.float32), state, fs, vx, vr)
+
+            state, force_sum, vxyz_sum, vrpy_sum, taus, point_force = (
+                jax.lax.fori_loop(
+                    0, self.decimation, body,
+                    (state, force_sum, vxyz_sum, vrpy_sum, taus0, pf0),
+                )
+            )
+        else:
+            taus = point_force = None
+            for i in range(self.decimation):
+                state, force_sum, vxyz_sum, vrpy_sum, taus, point_force = substep_i(
+                    jnp.asarray(float(i)), state, force_sum, vxyz_sum, vrpy_sum
+                )
 
         acc = {
             "force_sum": force_sum,
             "vxyz_sum": vxyz_sum,
             "vrpy_sum": vrpy_sum,
             "tau": taus,
-            "point_force": aux["point_force"],
+            "point_force": point_force,
         }
         if self.post_bodies or self.sub.terrain_mode in ("local_plane", "local_plane_walls"):
             # FK of the *final* (post-integration) state — exactly what
