@@ -80,11 +80,13 @@ def update_micro(tag, num_envs=4096, **alg_over):
         )[0:4:3]
     )
     t_pack = time_fn(pack, batch, returns, advantages, packed, iters=10)
+    out("update_micro_part", variant=tag, what="pack", ms=round(t_pack * 1e3, 3))
 
     upd = jax.jit(
         lambda ps, b, r, a, p: alg.update(ps, b, r, a, k, packed_wide=p, wide_sizes=ws)
     )
     t_upd = time_fn(upd, state.ppo, batch, returns, advantages, packed, iters=10)
+    out("update_micro_part", variant=tag, what="update", ms=round(t_upd * 1e3, 3))
 
     # pure grad+clip+Adam scan on one fixed minibatch (no get_mb slicing)
     from jax.flatten_util import ravel_pytree
