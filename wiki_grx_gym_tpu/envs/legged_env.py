@@ -720,17 +720,49 @@ class LeggedEnv:
         )
         return phys, sum_force, sum_vxyz, sum_vrpy, torques, point_force, None
 
+    @functools.cached_property
+    def _step_u_cols(self):
+        """Static column layout of the ONE per-step U[0,1) block: every
+        random quantity of the step (delay, obs noise, command resample,
+        resets, pushes) is a slice of a single (n, K) uniform draw — a
+        dozen separate threefry launches per step measured as a visible
+        slice of the rollout's post-physics XLA time."""
+        c = self.cfg
+        widths = [
+            ("delay", 1 if c.control.actuation_delay else 0),
+            ("noise", self.obs_dim if c.noise.add_noise else 0),
+            ("cmd", 3),
+            ("reset", self._reset_u_width),
+            ("push", 2 if c.domain_rand.push_robots else 0),
+        ]
+        cols, off = {}, 0
+        for name, w in widths:
+            cols[name] = (off, w)
+            off += w
+        return cols, off
+
     def step(self, state: EnvState, actions: jax.Array) -> Tuple[EnvState, StepOutput]:
         c = self.cfg
         n, f = self.num_envs, self.num_feet
-        key, k_delay, k_noise, k_cmd, k_reset, k_push = jax.random.split(state.rng, 6)
+        key, k_block = jax.random.split(state.rng)
+        cols, k_width = self._step_u_cols
+        U = jax.random.uniform(k_block, (n, k_width))
+
+        def u_of(name):
+            off, w = cols[name]
+            return U[:, off: off + w]
 
         actions = self.clip_actions(actions)
 
         # ---- decimation loop (fftai during_physics_step :51-88) ----
         if c.control.actuation_delay:
+            # N(mean, std) via the inverse error function of the uniform
+            # column (same distribution as jax.random.normal)
+            from jax.scipy.special import erfinv
+
+            un = jnp.clip(u_of("delay"), 1e-7, 1.0 - 1e-7)
             delay = c.control.actuation_delay_mean + c.control.actuation_delay_std * (
-                jax.random.normal(k_delay, (n, 1))
+                jnp.sqrt(2.0) * erfinv(2.0 * un - 1.0)
             )
             delay = jnp.maximum(delay, 0.0)
         else:
@@ -744,7 +776,7 @@ class LeggedEnv:
         episode_length = state.episode_length + 1
         common_step = state.common_step + 1
         resample = (episode_length % self.resample_interval) == 0
-        new_cmds = self._sample_commands(k_cmd, n, state.cmd_lin_vel_x_range)
+        new_cmds = self._sample_commands(u_of("cmd"), n, state.cmd_lin_vel_x_range)
         commands = jnp.where(resample[:, None], new_cmds, state.commands)
 
         phys, sum_force, sum_vxyz, sum_vrpy, torques, point_force, post_kin, point_pos, post_out = (
@@ -968,9 +1000,8 @@ class LeggedEnv:
         # it only becomes visible the following step.
         if c.domain_rand.push_robots:
             do_push = (common_step % self.push_interval) == 0
-            push_vel = maths.uniform(
-                k_push, -c.domain_rand.max_push_vel_xy, c.domain_rand.max_push_vel_xy, (n, 2)
-            )
+            mx = c.domain_rand.max_push_vel_xy
+            push_vel = -mx + 2.0 * mx * u_of("push")
             lin_vel = jnp.where(
                 do_push, phys.base_lin_vel.at[:, :2].set(push_vel), phys.base_lin_vel
             )
@@ -989,7 +1020,7 @@ class LeggedEnv:
             feet_air_time=feet_air_time,
             feet_land_time=feet_land_time,
         )
-        state = self._reset_where(state, reset_buf, key=k_reset, update_curriculum=True)
+        state = self._reset_where(state, reset_buf, u=u_of("reset"), update_curriculum=True)
         state = self._refresh_ground_plane(state, reset_buf, point_pos=point_pos)
 
         # record "last" values (legged_robot.py:299-300 + fftai:94-97);
@@ -1006,7 +1037,7 @@ class LeggedEnv:
 
         # ---- observations from the post-reset state ----
         obs, pri_obs = self._observations(
-            state, k_noise, commands=state.commands, measured_cache=(
+            state, u_of("noise"), commands=state.commands, measured_cache=(
                 measured_heights, base_heights_offset, surround_heights_offset,
                 feet_contact, feet_height, base_lin_vel, base_ang_vel, projected_gravity,
             ),
@@ -1113,23 +1144,27 @@ class LeggedEnv:
         link_quat = maths.quat_mul(frame_quat(body), jnp.broadcast_to(quat_off, (n, 4)))
         return maths.quat_rotate_inverse(link_quat, jnp.broadcast_to(g, (n, 3)))
 
-    def _sample_commands(self, key, n, x_range=None):
+    def _sample_commands(self, u3, n, x_range=None):
         """Uniform command resampling (legged_robot.py:650-677); small
         commands snap to zero. ``x_range`` carries command-curriculum state.
         In heading mode the 4th channel is the heading target and the yaw
-        command is recomputed per step from the heading error."""
+        command is recomputed per step from the heading error.
+
+        ``u3``: (n, 3) U[0,1) random block — the per-step randomness is
+        drawn as ONE uniform block per step (a dozen separate threefry
+        launches measured as a visible slice of the rollout's post-physics
+        XLA time)."""
         c = self.cfg.commands
         r = c.ranges
         if x_range is None:
             x_range = jnp.asarray(r.lin_vel_x, jnp.float32)
-        k1, k2, k3 = jax.random.split(key, 3)
-        cx = jax.random.uniform(k1, (n,), minval=x_range[0], maxval=x_range[1])
-        cy = maths.uniform(k2, r.lin_vel_y[0], r.lin_vel_y[1], (n,))
+        cx = x_range[0] + u3[:, 0] * (x_range[1] - x_range[0])
+        cy = r.lin_vel_y[0] + u3[:, 1] * (r.lin_vel_y[1] - r.lin_vel_y[0])
         if c.heading_command:
-            heading = maths.uniform(k3, r.heading[0], r.heading[1], (n,))
+            heading = r.heading[0] + u3[:, 2] * (r.heading[1] - r.heading[0])
             cmds = jnp.stack([cx, cy, jnp.zeros(n), heading], axis=-1)
         else:
-            cyaw = maths.uniform(k3, r.ang_vel_yaw[0], r.ang_vel_yaw[1], (n,))
+            cyaw = r.ang_vel_yaw[0] + u3[:, 2] * (r.ang_vel_yaw[1] - r.ang_vel_yaw[0])
             cmds = jnp.stack([cx, cy, cyaw], axis=-1)
         width = max(3, c.num_commands)
         if cmds.shape[1] < width:
@@ -1169,17 +1204,35 @@ class LeggedEnv:
             self.terrain.tile_min(raw), sx, sy, world[..., 0], world[..., 1]
         )
 
+    @functools.cached_property
+    def _reset_u_width(self) -> int:
+        """Columns of the reset path's uniform block: q[d], xy[2], yaw[1],
+        vel6[6], cmds[3], level[1]."""
+        return self.num_dof + 13
+
     def _reset_where(
-        self, state: EnvState, done: jax.Array, key=None, update_curriculum: bool = False
+        self, state: EnvState, done: jax.Array, key=None, u=None,
+        update_curriculum: bool = False,
     ) -> EnvState:
         """Branchless reset of done envs (legged_robot.py:377-440 semantics,
         minus host-side indexed setters). Curricula advance only on
-        mid-training resets."""
+        mid-training resets.
+
+        ``u``: optional (n, _reset_u_width) U[0,1) block — inside the step
+        the per-step randomness arrives as one shared uniform draw; the
+        init/reset cold paths pass a key and draw their own block."""
         c = self.cfg
         n, d = self.num_envs, self.num_dof
-        if key is None:
-            key = state.rng
-        k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+        if u is None:
+            if key is None:
+                key = state.rng
+            u = jax.random.uniform(key, (n, self._reset_u_width))
+        u_q = u[:, :d]
+        u_xy = u[:, d: d + 2]
+        u_yaw = u[:, d + 2]
+        u_vel = u[:, d + 3: d + 9]
+        u_cmd = u[:, d + 9: d + 12]
+        u_level = u[:, d + 12]
 
         # terrain curriculum (legged_robot.py:799-826)
         if update_curriculum and self.custom_origins and c.terrain.curriculum:
@@ -1195,7 +1248,9 @@ class LeggedEnv:
             ) & ~move_up
             levels = state.terrain_levels + move_up.astype(jnp.int32) - move_down.astype(jnp.int32)
             max_level = c.terrain.num_rows
-            rand_level = jax.random.randint(k6, (n,), 0, max_level, jnp.int32)
+            rand_level = jnp.minimum(
+                (u_level * max_level).astype(jnp.int32), max_level - 1
+            )
             levels = jnp.where(levels >= max_level, rand_level, jnp.clip(levels, 0))
             levels = jnp.where(done, levels, state.terrain_levels)
             origins = self.terrain.terrain_origins[levels, state.terrain_types]
@@ -1223,22 +1278,22 @@ class LeggedEnv:
 
         # dof state (legged_robot.py:717-740)
         if c.domain_rand.randomize_init_dof_pos:
-            q_new = maths.uniform(k1, 0.5, 1.5, (n, d)) * self.default_dof_pos
+            q_new = (0.5 + u_q) * self.default_dof_pos
         else:
             q_new = jnp.tile(self.default_dof_pos, (n, 1))
 
         # root state (legged_robot.py:742-784)
         pos_new = jnp.asarray(c.init_state.pos, jnp.float32) + state.env_origins
         if self.custom_origins:
-            pos_new = pos_new.at[:, :2].add(maths.uniform(k2, -1.0, 1.0, (n, 2)))
-        yaw = maths.uniform(k3, -2 * np.pi, 2 * np.pi, (n,))
+            pos_new = pos_new.at[:, :2].add(-1.0 + 2.0 * u_xy)
+        yaw = -2.0 * np.pi + 4.0 * np.pi * u_yaw
         quat_new = maths.quat_from_euler_xyz(jnp.zeros(n), jnp.zeros(n), yaw)
         if c.domain_rand.randomize_init_base_velocity:
-            vel6 = maths.uniform(k4, -0.5, 0.5, (n, 6))
+            vel6 = -0.5 + u_vel
         else:
             vel6 = jnp.zeros((n, 6))
 
-        cmds_new = self._sample_commands(k5, n, state.cmd_lin_vel_x_range)
+        cmds_new = self._sample_commands(u_cmd, n, state.cmd_lin_vel_x_range)
 
         m = done
         m1 = m[:, None]
@@ -1270,7 +1325,7 @@ class LeggedEnv:
             episode_sums=jnp.where(m1, 0.0, state.episode_sums),
         )
 
-    def _observations(self, state, k_noise, commands, measured_cache, reset_buf):
+    def _observations(self, state, u_noise, commands, measured_cache, reset_buf):
         """Observation profiles (gr1t1.py:281-336). Recomputes base-frame
         quantities for envs that were just reset."""
         c = self.cfg
@@ -1313,8 +1368,7 @@ class LeggedEnv:
             axis=-1,
         )
         if c.noise.add_noise:
-            noise = (2.0 * jax.random.uniform(k_noise, obs.shape) - 1.0) * self.noise_scale_vec
-            obs = obs + noise
+            obs = obs + (2.0 * u_noise - 1.0) * self.noise_scale_vec
         clip = c.normalization.clip_observations
         # nan_to_num: stale cached channels of a just-reset (exploded) env
         # must not leak non-finite values into the network
