@@ -319,9 +319,23 @@ class PPO:
             # (T, N, F) -> (G, n_blocks, B*F); the g<->t transpose is local
             # on a dp mesh (g is the sharded axis)
             p = p.reshape(t, g, nb_t, b * f)
-            p = jnp.swapaxes(p, 0, 1).reshape(g, n_blocks, b * f)
-            # the one gather of the whole update, then minibatches are slices
-            p = jnp.take(p, perm, axis=1)
+            # "wrap" lowers to GatherScatterMode.PROMISE_IN_BOUNDS (indices
+            # are a permutation, always in bounds; the mod folds away)
+            hints = dict(unique_indices=True, mode="wrap")
+            if g == 1:
+                # flat 2D row gather: jnp.take over axis 0 of (rows, b*F)
+                # lowers to contiguous-row DMAs (the same pattern as the
+                # terrain block-pyramid extraction); the axis=1 form below
+                # measured ~33 GB/s effective — ~10x below HBM — on v5e
+                p = p.reshape(n_blocks, b * f)
+                p = jnp.take(p, perm, axis=0, **hints)
+            else:
+                # the one gather of the whole update, then minibatches are
+                # slices; axis=1 keeps the sharded g axis leading so the
+                # gather stays device-local (tests/test_parallel.py HLO
+                # contract)
+                p = jnp.swapaxes(p, 0, 1).reshape(g, n_blocks, b * f)
+                p = jnp.take(p, perm, axis=1, **hints)
             return p.reshape(g, self.num_mini_batches, rows_per_mb, f)
 
         if packed_wide is not None:
