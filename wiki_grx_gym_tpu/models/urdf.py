@@ -233,6 +233,19 @@ def parse_urdf(source: str) -> Urdf:
     return Urdf(name=root.get("name", "robot"), links=links, joints=joints)
 
 
+def parse_robot_xml(source: str) -> Urdf:
+    """Format-dispatching robot parser: URDF (<robot>) or MJCF (<mujoco>)
+    by root tag — the reference's importer handles both (N3,
+    physics.rst.txt:66-73)."""
+    text = source if source.lstrip().startswith("<") else open(source).read()
+    root_tag = ET.fromstring(text).tag
+    if root_tag == "mujoco":
+        from wiki_grx_gym_tpu.models.mjcf import parse_mjcf
+
+        return parse_mjcf(text)
+    return parse_urdf(text)
+
+
 # ----------------------------------------------------------------------------
 # compiler: URDF → RobotModel
 # ----------------------------------------------------------------------------
@@ -280,7 +293,7 @@ def compile_robot(
     """
     import jax.numpy as jnp
 
-    urdf = parse_urdf(source)
+    urdf = parse_robot_xml(source)
     root = urdf.root_link()
 
     # joints by parent link, preserving document order (IsaacGym DOF order
