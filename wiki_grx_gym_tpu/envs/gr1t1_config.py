@@ -411,6 +411,43 @@ class GR1T1FullCfg(GR1T1Cfg):
         class scales(GR1T1LowerLimbCfg.rewards.scales):
             pass
 
+    class normalization(GR1T1Cfg.normalization):
+        # tight action boxes on the 22 non-leg joints: the policy commands
+        # the full 32-DOF body, but waist/head/arm targets stay within
+        # +-0.05 rad of the default pose. Measured (r4 .tpujobs/j15/j18):
+        # with the lower-limb boxes open on all 32 joints, the summed
+        # penalty terms dominate the 10-DOF-tuned reward recipe and PPO
+        # plateaus at ~1.3 s episodes (with the default entropy the action
+        # std then diverges 0.13 -> 1.24); the robot stands fine under PD
+        # hold (j20), so locomotion is learned by the legs within the full
+        # 32-DOF dynamics while the upper body holds pose.
+        actions_max = dict(
+            GR1T1Cfg.normalization.actions_max,
+            **{k: 0.05 for k in (
+                "waist_yaw", "waist_pitch", "waist_roll",
+                "head_yaw", "head_roll", "head_pitch",
+                "left_shoulder_pitch", "left_shoulder_roll", "left_shoulder_yaw",
+                "left_elbow_pitch", "left_wrist_yaw", "left_wrist_roll",
+                "left_wrist_pitch",
+                "right_shoulder_pitch", "right_shoulder_roll", "right_shoulder_yaw",
+                "right_elbow_pitch", "right_wrist_yaw", "right_wrist_roll",
+                "right_wrist_pitch",
+            )},
+        )
+        actions_min = dict(
+            GR1T1Cfg.normalization.actions_min,
+            **{k: -0.05 for k in (
+                "waist_yaw", "waist_pitch", "waist_roll",
+                "head_yaw", "head_roll", "head_pitch",
+                "left_shoulder_pitch", "left_shoulder_roll", "left_shoulder_yaw",
+                "left_elbow_pitch", "left_wrist_yaw", "left_wrist_roll",
+                "left_wrist_pitch",
+                "right_shoulder_pitch", "right_shoulder_roll", "right_shoulder_yaw",
+                "right_elbow_pitch", "right_wrist_yaw", "right_wrist_roll",
+                "right_wrist_pitch",
+            )},
+        )
+
 
 class GR1T1FullCfgPPO(GR1T1CfgPPO):
     class runner(GR1T1CfgPPO.runner):
