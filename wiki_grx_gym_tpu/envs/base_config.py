@@ -89,11 +89,14 @@ class LeggedRobotCfg(BaseConfig):
         # the kernel program as plain XLA on (N,) lanes — tests only)
         use_pallas = "auto"
         # kernel substep loop: "unroll" (decimation copies of the substep
-        # program) or "fori" (one copy in a lax.fori_loop — ~10x smaller
-        # program). Measured on v5e at 4096 envs (tools/jobs .tpujobs/j12):
+        # program), "fori" (one copy in a lax.fori_loop — ~10x smaller
+        # program), or "auto". Measured on v5e at 4096 envs (.tpujobs/j12):
         # identical runtime (83.88 vs 83.93 ms/iter), cold Mosaic compile
-        # 62 s vs ~6 min — fori is the default
-        kernel_loop = "fori"
+        # 62 s vs ~6 min. But the fori carry lives on the kernel's VMEM
+        # stack, and the 32-DOF full-body model exceeds the 16 MB scoped
+        # limit (j22) — "auto" picks fori for models with <= 16 DOFs,
+        # unroll otherwise
+        kernel_loop = "auto"
 
     class env:
         num_envs = 4096

@@ -556,7 +556,12 @@ class LeggedEnv:
             damping_coeff=self._implicit_damping_const,
             post=post,
         )
-        deci.loop_mode = getattr(self.cfg.sim, "kernel_loop", "unroll")
+        kl = getattr(self.cfg.sim, "kernel_loop", "auto")
+        if kl == "auto":
+            # the fori carry lives on the kernel's VMEM stack; big models
+            # (32-DOF full body) exceed the 16 MB scoped limit there
+            kl = "fori" if self.num_dof <= 16 else "unroll"
+        deci.loop_mode = kl
         mode = self._pallas_mode()
         return PallasDecimation(
             deci, interpret=mode == "interpret", lanes=mode == "lanes"
