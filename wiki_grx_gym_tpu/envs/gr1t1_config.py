@@ -465,12 +465,3 @@ class GR1T1FullCfgPPO(GR1T1CfgPPO):
         # a free reward and the learnable std diverges (0.2 -> 1.27 within
         # 400 iterations, measured r4 .tpujobs/j24)
         entropy_coef = 0.0
-
-    class policy(GR1T1CfgPPO.policy):
-        # fixed exploration noise (actor_critic_mlp.py:116-134 fixed_std
-        # semantics): the learnable std is unstable on this task — it
-        # diverges with entropy on (j24) and collapses to 0.04 without it,
-        # freezing velocity tracking at ~40% (j25). A fixed 0.2 keeps
-        # exploration alive for the whole schedule.
-        init_noise_std = 0.2
-        fixed_std = True
