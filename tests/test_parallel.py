@@ -151,8 +151,9 @@ def test_dp1_vs_dp8_training_step_equivalence(mesh8):
 
 @pytest.mark.slow
 def test_dp1_vs_dp8_equivalence_bf16_default_path(mesh8):
-    """Sharding coverage for the SHIPPED defaults (update_dtype=bfloat16,
-    in-rollout packing): one training step, dp1 vs dp8, at
+    """Sharding coverage for the bf16-update OPTION (algorithm.update_dtype
+    = "bfloat16"; the shipped default is float32, which the other
+    equivalence tests pin explicitly): one training step, dp1 vs dp8, at
     bf16-calibrated tolerances. bf16 reduction-order noise rounds
     differently across shardings, so tolerances are loose — real sharding
     corruption (wrong minibatch composition, clobbered shards) produces
@@ -167,7 +168,7 @@ def test_dp1_vs_dp8_equivalence_bf16_default_path(mesh8):
         train_cfg.algorithm.num_mini_batches = 2
         train_cfg.algorithm.num_learning_epochs = 1
         train_cfg.algorithm.permutation_groups = 8
-        assert str(train_cfg.algorithm.update_dtype) == "bfloat16"  # the default
+        train_cfg.algorithm.update_dtype = "bfloat16"
         env, _ = task_registry.make_env("GR1T1", env_cfg=env_cfg)
         runner = OnPolicyRunner(env, train_cfg, log_dir=None, mesh=mesh)
         state = runner.init_state(init_at_random_ep_len=True)
@@ -195,14 +196,15 @@ def test_dp1_vs_dp8_equivalence_bf16_default_path(mesh8):
 
 @pytest.mark.slow
 def test_dp8_update_no_gather_collectives_bf16_default_path(mesh8):
-    """HLO contract on the shipped-default iteration (bf16 update, packed
-    rollout) over dp8: gradient all-reduce only — no
+    """HLO contract on the bf16-update-option iteration (packed rollout)
+    over dp8: gradient all-reduce only — no
     all-gather / all-to-all anywhere in the compiled program."""
     env_cfg, train_cfg = task_registry.get_cfgs("GR1T1")
     env_cfg.env.num_envs = 16
     train_cfg.runner.num_steps_per_env = 4
     train_cfg.algorithm.num_mini_batches = 2
     train_cfg.algorithm.num_learning_epochs = 1
+    train_cfg.algorithm.update_dtype = "bfloat16"
     env, _ = task_registry.make_env("GR1T1", env_cfg=env_cfg)
     runner = OnPolicyRunner(env, train_cfg, log_dir=None, mesh=mesh8)
     assert runner.alg.update_dtype == jnp.bfloat16

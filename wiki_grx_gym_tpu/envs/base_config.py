@@ -301,9 +301,13 @@ class LeggedRobotCfgPPO(BaseConfig):
         # PPO update ("bfloat16" or "float32"); ratio/KL-critical fields are
         # always float32 (learn/ppo.py)
         storage_dtype = "bfloat16"
-        # update-phase MLP activation dtype ("bfloat16" or "float32");
-        # scoped to the PPO grad steps only (learn/ppo.py)
-        update_dtype = "bfloat16"
+        # update-phase MLP activation dtype ("float32" or "bfloat16");
+        # scoped to the PPO grad steps only (learn/ppo.py). f32 (the
+        # reference's dtype throughout) measured FASTER than bf16 at both
+        # batch sizes on v5e (3.34M vs 3.28M env-steps/s @4096, 3.50M vs
+        # 3.44M @8192, r4 .tpujobs/j28 — the per-layer casts cost more
+        # than the halved activation traffic saves)
+        update_dtype = "float32"
         # run actor mean + critic value as ONE stacked batched-matmul trunk
         # (networks.joint_mean_value) in the rollout and the update grad
         # steps; False = separate actor/critic stacks, the reference's

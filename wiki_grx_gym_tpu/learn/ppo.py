@@ -121,7 +121,7 @@ class PPO:
         # only — the rollout's policy forward keeps the network's own
         # compute_dtype, so deployment-path numerics are untouched.
         # Training-quality validation tables live in docs/TRAINING.md.
-        ud = str(getattr(alg_cfg, "update_dtype", "bfloat16") or "float32")
+        ud = str(getattr(alg_cfg, "update_dtype", "float32") or "float32")
         self.update_dtype = {"float32": None, "bfloat16": jnp.bfloat16}[ud]
         # actor+critic as one stacked batched-matmul trunk vs the
         # reference's two separate stacks; also consumed by the runner's
