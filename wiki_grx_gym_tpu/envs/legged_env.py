@@ -961,7 +961,7 @@ class LeggedEnv:
         episode_sums = state.episode_sums + term_stack
         rew_buf = jnp.sum(term_stack[:, : len(self.reward_names)], axis=1)
         if c.rewards.only_positive_rewards:
-            rew_buf = jnp.clip(rew_buf, a_min=0.0)
+            rew_buf = jnp.clip(rew_buf, min=0.0)
         if self.termination_scale:
             rew_buf = rew_buf + term_stack[:, len(self.reward_names)]
 

@@ -194,8 +194,8 @@ def pose_offset_hip_yaw(env, ctx):
 
 
 def limits_dof_pos(env, ctx):
-    lo = -jnp.clip(ctx.dof_pos - env.dof_pos_soft_lower, a_max=0.0)
-    hi = jnp.clip(ctx.dof_pos - env.dof_pos_soft_upper, a_min=0.0)
+    lo = -jnp.clip(ctx.dof_pos - env.dof_pos_soft_lower, max=0.0)
+    hi = jnp.clip(ctx.dof_pos - env.dof_pos_soft_upper, min=0.0)
     err = jnp.sum(jnp.abs(lo + hi), axis=1)
     return 1.0 - jnp.exp(env.cfg.rewards.sigma_limits_dof_pos * err)
 
@@ -203,8 +203,8 @@ def limits_dof_pos(env, ctx):
 def limits_dof_vel(env, ctx):
     over = jnp.clip(
         jnp.abs(ctx.dof_vel) - env.dof_vel_limits * env.cfg.rewards.soft_dof_vel_limit,
-        a_min=0.0,
-        a_max=1.0,
+        min=0.0,
+        max=1.0,
     )
     err = jnp.sum(over, axis=1)
     return 1.0 - jnp.exp(env.cfg.rewards.sigma_limits_dof_vel * err)
@@ -213,7 +213,7 @@ def limits_dof_vel(env, ctx):
 def limits_dof_tor(env, ctx):
     over = jnp.clip(
         jnp.abs(ctx.torques) - env.torque_limits * env.cfg.rewards.soft_torque_limit,
-        a_min=0.0,
+        min=0.0,
     )
     err = jnp.sum(over, axis=1)
     return 1.0 - jnp.exp(env.cfg.rewards.sigma_limits_dof_tor * err)
@@ -303,7 +303,7 @@ def feet_stumble(env, ctx):
     ratio = env.cfg.rewards.feet_stumble_ratio
     fxy = jnp.linalg.norm(ctx.feet_contact_force[:, :, :2], axis=2)
     fz = jnp.abs(ctx.feet_contact_force[:, :, 2])
-    err = jnp.clip(fxy - ratio * fz, a_min=0.0)
+    err = jnp.clip(fxy - ratio * fz, min=0.0)
     rew = jnp.sum(1.0 - jnp.exp(sig * err), axis=1)
     return rew
 
@@ -354,7 +354,7 @@ def tracking_ang_vel(env, ctx):
 def feet_contact_forces(env, ctx):
     over = jnp.clip(
         jnp.linalg.norm(ctx.feet_contact_force, axis=-1) - env.cfg.rewards.max_contact_force,
-        a_min=0.0,
+        min=0.0,
     )
     return jnp.sum(over, axis=1)
 
@@ -369,8 +369,8 @@ def dof_pos_limits(env, ctx):
     """legged_robot.py:1317-1321: linear out-of-soft-limit excess (the soft
     scaling of `_process_dof_props`, legged_robot.py:594-615, is baked into
     ``env.dof_pos_soft_lower/upper``)."""
-    under = jnp.clip(ctx.dof_pos - env.dof_pos_soft_lower, a_max=0.0)
-    over = jnp.clip(ctx.dof_pos - env.dof_pos_soft_upper, a_min=0.0)
+    under = jnp.clip(ctx.dof_pos - env.dof_pos_soft_lower, max=0.0)
+    over = jnp.clip(ctx.dof_pos - env.dof_pos_soft_upper, min=0.0)
     return jnp.sum(over - under, axis=1)
 
 
@@ -378,8 +378,8 @@ def dof_vel_limits(env, ctx):
     """legged_robot.py:1323-1326: velocity excess, clipped to 1 rad/s/joint."""
     over = jnp.clip(
         jnp.abs(ctx.dof_vel) - env.dof_vel_limits * env.cfg.rewards.soft_dof_vel_limit,
-        a_min=0.0,
-        a_max=1.0,
+        min=0.0,
+        max=1.0,
     )
     return jnp.sum(over, axis=1)
 
@@ -388,7 +388,7 @@ def torque_limits(env, ctx):
     """legged_robot.py:1328-1330."""
     over = jnp.clip(
         jnp.abs(ctx.torques) - env.torque_limits * env.cfg.rewards.soft_torque_limit,
-        a_min=0.0,
+        min=0.0,
     )
     return jnp.sum(over, axis=1)
 
@@ -398,8 +398,8 @@ def limits_actions(env, ctx):
     outside the soft dof position limits (note the reference compares the
     scaled action directly, without the default-pose offset)."""
     scaled = ctx.actions * env.cfg.control.action_scale
-    under = jnp.clip(scaled - env.dof_pos_soft_lower, a_max=0.0)
-    over = jnp.clip(scaled - env.dof_pos_soft_upper, a_min=0.0)
+    under = jnp.clip(scaled - env.dof_pos_soft_lower, max=0.0)
+    over = jnp.clip(scaled - env.dof_pos_soft_upper, min=0.0)
     err = jnp.sum(jnp.square(over - under), axis=1)
     return 1.0 - jnp.exp(env.cfg.rewards.sigma_limits_actions * err)
 
