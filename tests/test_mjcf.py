@@ -139,6 +139,33 @@ def test_mjcf_joint_anchor_shift():
     )
 
 
+def test_mjcf_geom_euler_orientation():
+    """A ``<geom euler="...">`` must rotate the collision proxy exactly like
+    the equivalent ``quat`` (regression: euler was silently parsed as
+    identity, misorienting box/cylinder proxies)."""
+    base = """
+<mujoco model="g"><compiler angle="degree"/><worldbody>
+  <body name="base">
+    <inertial pos="0 0 0" mass="2.0" diaginertia="0.1 0.1 0.1"/>
+    <geom type="box" size="0.3 0.05 0.05" pos="0 0 0" {orient}/>
+  </body>
+</worldbody></mujoco>
+"""
+    # 90 deg about z: quat (w,x,y,z) = (cos45, 0, 0, sin45)
+    m_euler = compile_robot(base.format(orient='euler="0 0 90"'))
+    m_quat = compile_robot(
+        base.format(orient='quat="0.7071067811865476 0 0 0.7071067811865476"')
+    )
+    m_ident = compile_robot(base.format(orient=""))
+    np.testing.assert_allclose(
+        np.asarray(m_euler.point_offset), np.asarray(m_quat.point_offset), atol=1e-7
+    )
+    # and the rotation actually moved the proxies (x-major box -> y-major)
+    assert not np.allclose(
+        np.asarray(m_euler.point_offset), np.asarray(m_ident.point_offset), atol=1e-3
+    )
+
+
 def test_mjcf_unsupported_joint_raises():
     import pytest
 

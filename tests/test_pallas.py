@@ -312,6 +312,42 @@ def test_fold_step_matches_scan():
         )
 
 
+def test_fold_nan_env_emits_zero_reward():
+    """A numerically exploded env must emit rew=0.0 through the in-kernel
+    fold, exactly like the XLA path's `jnp.where(bad, 0.0, ...)` guard
+    (legged_env.py:948). Regression test for the NaN*0=NaN gate bug: a
+    multiplicative `term * ok` gate lets NaN rewards through, which then
+    poison GAE and the whole PPO update."""
+    n = 8
+    env_cfg, _ = task_registry.get_cfgs("GR1T1")
+    env_cfg.env.num_envs = n
+    env_cfg.control.decimation = 2
+    env_cfg.sim.use_pallas = "lanes"
+    env, _ = task_registry.make_env("GR1T1", env_cfg=env_cfg)
+    assert env._post_fold
+
+    with jax.disable_jit():
+        s = env.init_state(jax.random.PRNGKey(0))
+        # blow up env 3: NaN joint velocities + base position
+        qd = np.asarray(s.physics.qd).copy()
+        qd[3] = np.nan
+        pos = np.asarray(s.physics.base_pos).copy()
+        pos[3] = np.nan
+        s = s.replace(
+            physics=s.physics.replace(qd=jnp.asarray(qd), base_pos=jnp.asarray(pos))
+        )
+        actions = jnp.zeros((n, env.num_actions))
+        s1, out = env.step(s, actions)
+
+    rew = np.asarray(out.rew)
+    assert np.all(np.isfinite(rew)), f"non-finite rewards leaked: {rew}"
+    assert rew[3] == 0.0, f"NaN env should earn exactly 0 reward, got {rew[3]}"
+    # the exploded env must also be terminated (safety reset)
+    assert bool(np.asarray(out.reset)[3])
+    # and healthy envs keep earning normally
+    assert np.any(rew[np.arange(n) != 3] != 0.0)
+
+
 @pytest.mark.parametrize("kernel_loop", ["unroll", "fori"])
 def test_fold_kernel_packing_matches_lanes(kernel_loop):
     """The post stage through the real kernel body + (8,128) packing

@@ -252,9 +252,14 @@ class LanePost:
                         ).astype(one.dtype),
         )
 
-        ok = fin.astype(one.dtype)  # NaN-env rewards must not propagate
+        # NaN-env rewards must not propagate. A multiplicative gate
+        # (term * ok) fails here: NaN * 0 == NaN, and one exploded env
+        # would poison GAE and the whole PPO update. Select instead,
+        # discarding the NaN branch (parity with legged_env.py's
+        # `jnp.where(bad, 0.0, ...)` guard on the XLA path).
+        zero = jnp.zeros_like(one)
         terms = [
-            self.scales[name] * getattr(self, "_rw_" + name)(ctx) * ok
+            jnp.where(fin, self.scales[name] * getattr(self, "_rw_" + name)(ctx), zero)
             for name in self.reward_names
         ]
 

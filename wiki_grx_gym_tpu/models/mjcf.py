@@ -157,6 +157,10 @@ def parse_mjcf(source: str) -> Urdf:
             if gattrs.get("quat"):
                 w, x, y, z = (float(v) for v in gattrs["quat"].split())
                 quat = np.asarray([x, y, z, w], np.float64)
+            elif gattrs.get("euler"):
+                e = np.asarray(
+                    [float(v) for v in gattrs["euler"].split()]) * angle_scale
+                quat = _quat_from_rpy(e)  # eulerseq "xyz" == fixed-axis RPY
             else:
                 quat = np.asarray([0.0, 0, 0, 1.0])
             tf = Transform(pos=pos, quat=quat)
