@@ -321,6 +321,15 @@ class LeggedRobotCfgPPO(BaseConfig):
         # buffer inside the rollout scan (learn/runner._rollout) instead of
         # a separate concat pass in the update (learn/ppo._pack_shuffle)
         pack_rollout = True
+        # each PPO grad step as ONE Pallas kernel — both MLP forwards, the
+        # clipped-PPO loss and the hand-derived backward fused, with weights
+        # and grad accumulators VMEM-resident (learn/fused_update.py).
+        # "auto" = on for single-device TPU on the supported path (MLP +
+        # elu + no extra loss term); True forces it (interpreter off-TPU,
+        # for tests); False = the plain XLA scan path
+        fused_update = "auto"
+        # batch-tile rows per kernel grid step on the fused path
+        fused_update_tile = 512
 
     class policy:
         init_noise_std = 1.0

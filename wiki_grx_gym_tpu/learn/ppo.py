@@ -131,6 +131,22 @@ class PPO:
         # obs||critic_obs packed inside the rollout scan vs a separate
         # concat pass here (base_config.algorithm.pack_rollout)
         self.pack_rollout = bool(getattr(alg_cfg, "pack_rollout", True))
+        # fused minibatch-gradient Pallas kernel (learn/fused_update.py):
+        # the whole grad step — both MLP forwards, the clipped-PPO loss and
+        # the hand-derived backward — as ONE kernel with VMEM-resident
+        # weights/accumulators. "auto" = on for single-device TPU runs on
+        # the supported path (MLP + elu + no extra loss); True forces it
+        # (interpret mode off-TPU, for tests); False = XLA scan path.
+        fu = getattr(alg_cfg, "fused_update", "auto")
+        self.fused_update_tile = int(getattr(alg_cfg, "fused_update_tile", 512) or 512)
+        if fu == "auto":
+            fu = jax.default_backend() == "tpu" and jax.device_count() == 1
+        if fu:
+            from wiki_grx_gym_tpu.learn.fused_update import FusedPPOGrad
+
+            fu = FusedPPOGrad.supported(net, extra_loss_fn)
+        self.fused_update = bool(fu) and self.perm_groups == 1 and flat_optimizer
+        self._fused_cache = {}
         # run clip+Adam over ONE raveled parameter vector instead of the
         # 10+-leaf pytree: optax maps ~8 elementwise ops per leaf, and those
         # ~100 launch-bound kernels measured ~60% of each grad step (v5e,
@@ -387,6 +403,8 @@ class PPO:
             self._pack_shuffle(batch, returns, advantages, key,
                                packed_wide=packed_wide, wide_sizes=wide_sizes)
         )
+        if self.fused_update:
+            return self._update_fused(ppo_state, shuf_w, shuf_f, sizes_w[0], rows_per_mb)
         squeeze = {"log_prob", "values", "returns", "advantages"}  # (T, N) scalars
 
         def get_mb(i):
@@ -415,6 +433,77 @@ class PPO:
             else self._minibatch_loss
         )
         return self._run_epochs(ppo_state, idx, get_mb, loss_fn)
+
+    def _get_fused(self, rows: int):
+        if rows not in self._fused_cache:
+            from wiki_grx_gym_tpu.learn.fused_update import FusedPPOGrad
+
+            # bf16 matmul operands unless the whole update is pinned f32
+            op = (
+                jnp.float32
+                if (self.storage_dtype == jnp.float32 and self.update_dtype is None
+                    and jax.default_backend() != "tpu")
+                else jnp.bfloat16
+            )
+            self._fused_cache[rows] = FusedPPOGrad(
+                self.net,
+                clip_param=self.clip_param,
+                value_loss_coef=self.value_loss_coef,
+                entropy_coef=self.entropy_coef,
+                use_clipped_value_loss=self.use_clipped_value_loss,
+                rows=rows,
+                num_mini_batches=self.num_mini_batches,
+                tile=self.fused_update_tile,
+                op_dtype=op,
+                interpret=jax.default_backend() != "tpu",
+            )
+        return self._fused_cache[rows]
+
+    def _update_fused(self, ppo_state: PPOState, shuf_w, shuf_f, obs_dim, rows):
+        """Epochs x minibatches scan where each grad step is ONE Pallas
+        kernel call (learn/fused_update.py) + flat clip/Adam. Semantics are
+        identical to the XLA path (tests/test_fused_update.py: kernel vs
+        autodiff; test_learn.py: whole-update equivalence)."""
+        from jax.flatten_util import ravel_pytree
+
+        fused = self._get_fused(rows)
+        bufs = fused.split_buffers(shuf_w, shuf_f, obs_dim)
+        p0, unravel = ravel_pytree(ppo_state.params)
+
+        def mb_step(carry, idx):
+            params_flat, opt_state, lr = carry
+            params = unravel(params_flat)
+            loss, grads, aux = fused.grads(params, bufs, idx)
+
+            lr = self._adapt_lr(lr, aux["kl"])
+            opt_state.hyperparams["learning_rate"] = lr
+
+            ok = jnp.isfinite(loss)  # NaN-loss skip (ppo.py:297-299)
+            flat_grads = ravel_pytree(grads)[0]
+            flat_grads = jnp.where(ok, flat_grads, jnp.zeros_like(flat_grads))
+            updates, opt_state = self.tx.update(flat_grads, opt_state, params_flat)
+            params_flat = optax.apply_updates(params_flat, updates)
+            metrics = {
+                "value_loss": aux["value_loss"],
+                "surrogate_loss": aux["surrogate_loss"],
+                "kl": aux["kl"],
+                "lr": lr,
+            }
+            return (params_flat, opt_state, lr), metrics
+
+        idx = jnp.tile(
+            jnp.arange(self.num_mini_batches, dtype=jnp.int32),
+            self.num_learning_epochs,
+        )
+        (p_final, opt_state, lr), metrics = jax.lax.scan(
+            mb_step, (p0, ppo_state.opt_state, ppo_state.learning_rate), idx
+        )
+        mean_metrics = jax.tree.map(jnp.mean, metrics)
+        mean_metrics["lr"] = lr
+        return (
+            PPOState(params=unravel(p_final), opt_state=opt_state, learning_rate=lr),
+            mean_metrics,
+        )
 
     def _run_epochs(self, ppo_state: PPOState, perms, get_mb, loss_fn):
         """Shared epochs-x-minibatches scan: grads, adaptive-KL LR, NaN skip,
