@@ -50,19 +50,20 @@ def _make_minibatch(key, rows, net, spread=1.0):
 
 
 def _bufs_from_mb(mb, rows):
-    """Arrange one minibatch as the (MB=1, rows, F) kernel buffers."""
+    """Arrange one minibatch as the (MB=1, rows, F) kernel buffers
+    (fscal = the f32 shuffle-pack lane order, learn/ppo._pack_shuffle)."""
     f = lambda x: x[None].astype(jnp.float32)
     col = lambda x: x[:, None]
     return dict(
         obs=f(mb["obs"]),
         cobs=f(mb["critic_obs"]),
-        actions=f(mb["actions"]),
-        mu=f(mb["mu"]),
-        sigma=f(mb["sigma"]),
-        scalars=f(
+        fscal=f(
             jnp.concatenate(
                 [
+                    mb["actions"],
                     col(mb["log_prob"]),
+                    mb["mu"],
+                    mb["sigma"],
                     col(mb["values"]),
                     col(mb["returns"]),
                     col(mb["advantages"]),
@@ -141,13 +142,17 @@ def test_fused_grads_unclipped_value_loss():
     _check(net, alg_cfg, rows=200, tile=128, clipped_vl=False, seed=7)
 
 
-def test_fused_whole_update_matches_xla_path():
-    """PPO.update end-to-end: the fused-kernel scan (forced on, interpreter,
-    f32 operands) must land on the same parameters, LR and metrics as the
-    XLA minibatch scan for an identical batch + key."""
+@pytest.mark.parametrize("mega", [True, False])
+def test_fused_whole_update_matches_xla_path(mega):
+    """PPO.update end-to-end: the fused path (forced on, interpreter, f32
+    operands) must land on the same parameters, LR and metrics as the XLA
+    minibatch scan for an identical batch + key — in BOTH forms: the
+    whole-update mega-kernel (grads + clip/Adam/LR in one pallas_call) and
+    the per-step kernel + optax scan."""
     from wiki_grx_gym_tpu.learn.ppo import Transition
 
     net, alg_cfg = _make_net(hidden=(32, 32))
+    alg_cfg.fused_mega = mega
     alg_cfg.num_learning_epochs = 2
     alg_cfg.num_mini_batches = 2
     alg_cfg.storage_dtype = "float32"

@@ -68,6 +68,19 @@ def replay(args):
     ax.set_ylim(mid[1] - span, mid[1] + span)
     ax.set_zlim(0.0, 2 * span)
     ax.set(xlabel="x [m]", ylabel="y [m]", zlabel="z [m]", title=f"{task} pose replay")
+    # initial camera from the task's viewer config (the reference's
+    # set_camera(viewer.pos, viewer.lookat), legged_robot.py:88-95)
+    try:
+        from wiki_grx_gym_tpu.envs import task_registry
+
+        v = task_registry.get_cfgs(task)[0].viewer
+        d = np.asarray(v.lookat, float) - np.asarray(v.pos, float)
+        ax.view_init(
+            elev=float(np.degrees(np.arctan2(-d[2], np.hypot(d[0], d[1])))),
+            azim=float(np.degrees(np.arctan2(d[1], d[0]))),
+        )
+    except Exception:
+        pass  # default matplotlib view
 
     def draw(f):
         pts = frames[f]

@@ -330,6 +330,10 @@ class LeggedRobotCfgPPO(BaseConfig):
         fused_update = "auto"
         # batch-tile rows per kernel grid step on the fused path
         fused_update_tile = 512
+        # fused path form: True = the ENTIRE update (grad steps + clip +
+        # Adam + adaptive LR) as ONE kernel with params/moments persistent
+        # in VMEM; False = per-grad-step kernel + flat optax clip/Adam
+        fused_mega = True
 
     class policy:
         init_noise_std = 1.0

@@ -97,6 +97,9 @@ class LeggedEnv:
 
     def __init__(self, cfg, model: RobotModel, terrain=None):
         self.cfg = cfg
+        if getattr(cfg.asset, "disable_gravity", False):
+            # asset option disable_gravity (legged_robot.py:960)
+            model = model.replace(gravity_scale=0.0)
         self.model = model
         self.terrain = terrain
 
@@ -169,6 +172,25 @@ class LeggedEnv:
         self.hip_yaw_dofs = model.find_dofs(c.asset.hip_yaw_name)
         self.ankle_dofs = model.find_dofs(c.asset.ankle_name)
 
+        # every remaining asset name hint resolved to link/dof index tuples
+        # at build, the reference's index-buffer construction
+        # (gr1t1.py:18-110 builds imu/thigh/shank/sole/arm/hand/waist index
+        # tensors the same way); exposed for tools and extension tasks
+        self.named_link_indices = {
+            h: model.find_links(getattr(c.asset, h))
+            for h in (
+                "imu_name", "waist_name", "head_name", "thigh_name",
+                "shank_name", "sole_name", "upper_arm_name",
+                "lower_arm_name", "hand_name", "hip_name",
+            )
+            if getattr(c.asset, h, "")
+        }
+        self.named_dof_indices = {
+            h: model.find_dofs(getattr(c.asset, h))
+            for h in ("hip_pitch_name", "ankle_pitch_name", "ankle_roll_name")
+            if getattr(c.asset, h, "")
+        }
+
         # torso / forehead frames (may be welded into the base)
         self.torso_frame = self._opt_frame(c.asset.torso_name + "_link")
         self.forehead_frame = self._opt_frame(getattr(c.asset, "forehead_name", "") + "_link")
@@ -213,7 +235,14 @@ class LeggedEnv:
         self.height_points = jnp.asarray(
             np.stack([gx.flatten(), gy.flatten()], axis=-1)
         )  # (H, 2)
-        self.num_height_points = self.height_points.shape[0]
+        # terrain.measure_heights gates height sampling AND the privileged
+        # obs content (legged_robot.py:208-212, 329-330): with the flag off
+        # measured_heights is a scalar 0 there, so the surround-heights
+        # segment collapses to width 1 and no grid queries run
+        self.measure_heights = bool(getattr(c.terrain, "measure_heights", True))
+        self.num_height_points = (
+            self.height_points.shape[0] if self.measure_heights else 1
+        )
 
         # --- terrain / ground ---
         if terrain is not None:
@@ -358,6 +387,18 @@ class LeggedEnv:
             )
         else:
             friction = jnp.ones(n)
+        # the DR sample is the FOOT material's coefficient; the ground
+        # material contributes terrain.static_friction (anchored-stick
+        # contact) / dynamic_friction (capped-viscous contact), combined by
+        # averaging — IsaacGym's default friction combine mode
+        # (legged_robot.py:873-874 sets the ground plane material from
+        # exactly these knobs). Defaults (1.0/1.0, DR off) are unchanged.
+        ground_mu = float(
+            c.terrain.static_friction
+            if self.contact_params.tangent_stiffness > 0.0
+            else c.terrain.dynamic_friction
+        )
+        friction = 0.5 * (friction + ground_mu)
         if dr.randomize_restitution:
             restitution = bucketed(
                 keys[2], keys[3], dr.restitution_range,
@@ -978,7 +1019,13 @@ class LeggedEnv:
         if c.commands.curriculum:
             episode_metrics["max_command_x"] = state.cmd_lin_vel_x_range[1]
         extras = {
-            "time_outs": time_out,
+            # env.send_timeouts gates timeout bootstrapping info
+            # (legged_robot.py:439: only sent when the flag is on; rsl_rl
+            # bootstraps only if 'time_outs' is present)
+            "time_outs": (
+                time_out if getattr(c.env, "send_timeouts", True)
+                else jnp.zeros_like(time_out)
+            ),
             "episode": episode_metrics,
             "done_count": jnp.sum(done_f),
             # per-env raw metric channels. The runner accumulates these in
@@ -1194,7 +1241,10 @@ class LeggedEnv:
         conservative 3-tap-min field is derived in-tile (an elementwise
         shift+min) from the raw-tile extraction."""
         n = self.num_envs
-        if self.terrain is None:
+        if self.terrain is None or not self.measure_heights:
+            # measure_heights=False: no grid queries at all; the (N, 1)
+            # zero column reproduces the reference's scalar-0 broadcast
+            # (legged_robot.py:210-212 leaves measured_heights = 0)
             return jnp.zeros((n, self.num_height_points))
         pts = jnp.concatenate(
             [self.height_points, jnp.zeros((self.num_height_points, 1))], axis=-1

@@ -146,6 +146,8 @@ class PPO:
 
             fu = FusedPPOGrad.supported(net, extra_loss_fn)
         self.fused_update = bool(fu) and self.perm_groups == 1 and flat_optimizer
+        # whole-update mega-kernel vs per-step kernel scan (both Pallas)
+        self.fused_mega = bool(getattr(alg_cfg, "fused_mega", True))
         self._fused_cache = {}
         # run clip+Adam over ONE raveled parameter vector instead of the
         # 10+-leaf pytree: optax maps ~8 elementwise ops per leaf, and those
@@ -453,22 +455,88 @@ class PPO:
                 use_clipped_value_loss=self.use_clipped_value_loss,
                 rows=rows,
                 num_mini_batches=self.num_mini_batches,
+                num_epochs=self.num_learning_epochs,
                 tile=self.fused_update_tile,
                 op_dtype=op,
+                max_grad_norm=self.max_grad_norm,
+                adaptive_lr=self.adaptive,
+                desired_kl=self.desired_kl,
+                lr_min=self.lr_min,
+                lr_max=self.lr_max,
                 interpret=jax.default_backend() != "tpu",
             )
         return self._fused_cache[rows]
 
+    def _opt_state_pieces(self, opt_state, n_params: int):
+        """Locate (count, mu, nu, lr) inside the optax state pytree by
+        shape: the tx chain is inject_hyperparams(clip_by_global_norm +
+        adam), whose only array leaves are the int32 step counts (all equal
+        by construction), the learning-rate scalar, and the two (P,) Adam
+        moments (mu before nu in ScaleByAdamState). Returns
+        (leaves, rebuild(count', mu', nu', lr') -> opt_state')."""
+        leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+        idx_count = [
+            i for i, l in enumerate(leaves)
+            if jnp.issubdtype(jnp.asarray(l).dtype, jnp.integer)
+            and jnp.asarray(l).ndim == 0
+        ]
+        idx_big = [
+            i for i, l in enumerate(leaves)
+            if jnp.asarray(l).ndim == 1 and jnp.asarray(l).size == n_params
+        ]
+        idx_lr = [
+            i for i, l in enumerate(leaves)
+            if jnp.asarray(l).ndim == 0
+            and jnp.issubdtype(jnp.asarray(l).dtype, jnp.floating)
+        ]
+        assert len(idx_big) == 2 and len(idx_lr) == 1 and idx_count, (
+            f"unexpected optax state layout: counts={idx_count}, "
+            f"big={idx_big}, lr={idx_lr}"
+        )
+        count = leaves[idx_count[0]]
+        mu, nu = leaves[idx_big[0]], leaves[idx_big[1]]
+
+        def rebuild(count2, mu2, nu2, lr2):
+            out = list(leaves)
+            for i in idx_count:
+                out[i] = count2
+            out[idx_big[0]], out[idx_big[1]] = mu2, nu2
+            out[idx_lr[0]] = lr2
+            return jax.tree_util.tree_unflatten(treedef, out)
+
+        return count, mu, nu, rebuild
+
     def _update_fused(self, ppo_state: PPOState, shuf_w, shuf_f, obs_dim, rows):
-        """Epochs x minibatches scan where each grad step is ONE Pallas
-        kernel call (learn/fused_update.py) + flat clip/Adam. Semantics are
-        identical to the XLA path (tests/test_fused_update.py: kernel vs
-        autodiff; test_learn.py: whole-update equivalence)."""
+        """The PPO update phase on the Pallas path (learn/fused_update.py).
+
+        Default (``fused_mega``): the ENTIRE update — all grad steps plus
+        clip/Adam/adaptive-LR — is ONE kernel; parameters and Adam moments
+        stay in VMEM across every step. Fallback: a lax.scan where each
+        grad step is one kernel call + flat optax clip/Adam. Semantics are
+        identical to the XLA path either way
+        (tests/test_fused_update.py)."""
         from jax.flatten_util import ravel_pytree
 
         fused = self._get_fused(rows)
         bufs = fused.split_buffers(shuf_w, shuf_f, obs_dim)
         p0, unravel = ravel_pytree(ppo_state.params)
+
+        if self.fused_mega:
+            count, mu, nu, rebuild = self._opt_state_pieces(
+                ppo_state.opt_state, p0.size
+            )
+            p2, m2, v2, lr_final, metrics = fused.update_scan(
+                ppo_state.params, unravel(mu), unravel(nu), count,
+                ppo_state.learning_rate, bufs,
+            )
+            steps = self.num_learning_epochs * self.num_mini_batches
+            opt2 = rebuild(
+                count + steps, ravel_pytree(m2)[0], ravel_pytree(v2)[0], lr_final
+            )
+            return (
+                PPOState(params=p2, opt_state=opt2, learning_rate=lr_final),
+                metrics,
+            )
 
         def mb_step(carry, idx):
             params_flat, opt_state, lr = carry

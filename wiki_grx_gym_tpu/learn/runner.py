@@ -55,9 +55,23 @@ class OnPolicyRunner:
         self.seed = int(getattr(train_cfg, "seed", 1))
 
         num_pri_obs = env.pri_obs_dim if env.cfg.env.num_pri_obs else env.obs_dim
-        # network class by config (on_policy_runner.py:84-89 builds by name;
-        # here rnn_type selects the recurrent actor-critic)
-        self.recurrent = bool(getattr(self.policy_cfg, "rnn_type", None))
+        # class dispatch by config name, the reference's `eval(cfg[...])`
+        # idiom (on_policy_runner.py:84-89) with a closed registry: an
+        # unknown name fails loudly exactly as the reference's eval would
+        pcn = str(getattr(self.cfg, "policy_class_name", "ActorCritic"))
+        if pcn not in ("ActorCritic", "ActorCriticMLP", "ActorCriticRecurrent"):
+            raise ValueError(f"unknown policy_class_name {pcn!r}")
+        acn = str(getattr(self.alg_cfg, "algorithm_class_name", "PPO"))
+        if acn != "PPO":
+            raise ValueError(f"unknown algorithm_class_name {acn!r}")
+        scn = str(getattr(self.alg_cfg, "storage_class", "RolloutStorage"))
+        if scn != "RolloutStorage":
+            raise ValueError(f"unknown storage_class {scn!r}")
+        # rnn_type additionally selects the recurrent net (the reference's
+        # recurrent path is config-scaffolded the same way)
+        self.recurrent = pcn == "ActorCriticRecurrent" or bool(
+            getattr(self.policy_cfg, "rnn_type", None)
+        )
         if self.recurrent:
             from wiki_grx_gym_tpu.learn.recurrent import ActorCriticRecurrent
 

@@ -55,6 +55,9 @@ class RobotModel:
     point_body: Tuple[int, ...] = struct.field(pytree_node=False, default=())
     point_link: Tuple[int, ...] = struct.field(pytree_node=False, default=())
     # --- static metadata (hashable; not traced) ---
+    # asset option disable_gravity (legged_robot.py:960): 0.0 turns gravity
+    # off for the whole articulation; folds at trace time
+    gravity_scale: float = struct.field(pytree_node=False, default=1.0)
     name: str = struct.field(pytree_node=False, default="")
     body_names: Tuple[str, ...] = struct.field(pytree_node=False, default=())
     dof_names: Tuple[str, ...] = struct.field(pytree_node=False, default=())

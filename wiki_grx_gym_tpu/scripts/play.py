@@ -67,7 +67,14 @@ def play(args, num_steps: int = 500, export: bool = True):
     logger = EvalLogger(env.dt)
     env_state, obs = state.env_state, state.obs
     step = env.step_jit
-    robot_index = getattr(args, "robot_index", 0)
+    # viewer.ref_env picks the robot the camera (here: the eval logger /
+    # replay capture) follows (legged_robot_config.py viewer section; the
+    # reference play.py hardcodes robot_index=0 and points the camera at
+    # ref_env); an explicit --robot_index wins
+    robot_index = getattr(
+        args, "robot_index", int(getattr(env.cfg.viewer, "ref_env", 0))
+    ) or 0
+    robot_index = min(robot_index, env.num_envs - 1)
     # log a knee joint when the robot has one (the interesting tracking
     # channel for GRx gaits), else the reference's hard-coded joint 1
     # (play.py:88)

@@ -252,7 +252,7 @@ def forward_dynamics(
 
     # gravity as an explicit external force at each com (no "gravity trick",
     # so the solved base acceleration is the true spatial acceleration)
-    grav_lin = mass[:, None] * GRAVITY
+    grav_lin = mass[:, None] * (GRAVITY * getattr(model, 'gravity_scale', 1.0))
     ext_ang = jnp.cross(com_rel, grav_lin) + ext_wrench[:, :3]
     ext_lin = grav_lin + ext_wrench[:, 3:]
 

@@ -411,7 +411,7 @@ class ScalarSubstep:
         e_ang = []
         e_lin = []
         for b in range(nb):
-            gl = [0.0, 0.0, mass[b] * _GRAV]
+            gl = [0.0, 0.0, mass[b] * _GRAV * getattr(self.model, 'gravity_scale', 1.0)]
             e_ang.append(_add(_cross(com_rel[b], gl), ext_ang[b]))
             e_lin.append(_add(gl, ext_lin[b]))
 

@@ -81,6 +81,10 @@ class TaskRegistry:
                 datetime.now().strftime("%b%d_%H-%M-%S") + "_" + train_cfg.runner.run_name,
             )
 
+        # runner class dispatch by name (reference train.py eval idiom)
+        rcn = str(getattr(train_cfg, "runner_class_name", "OnPolicyRunner"))
+        if rcn != "OnPolicyRunner":
+            raise ValueError(f"unknown runner_class_name {rcn!r}")
         runner = OnPolicyRunner(env, train_cfg, log_dir=log_dir)
         if train_cfg.runner.resume:
             resume_path = get_load_path(
