@@ -108,7 +108,7 @@ class FusedPPOGrad:
         desired_kl: float = 0.01,
         lr_min: float = 1e-5,
         lr_max: float = 1e-2,
-        vmem_limit_mb: int = 64,
+        vmem_limit_mb: int = 16,
         interpret: bool = False,
     ):
         self.net = net
@@ -662,10 +662,6 @@ class FusedPPOGrad:
             + [pltpu.SemaphoreType.DMA(())]
             + [pltpu.SMEM((1, 8), jnp.float32)]
         )
-        # donate p/m/v into their outputs (in-place in HBM)
-        n_in = len(data) + 3 * nP + 2
-        aliases = {len(data) + k: k for k in range(3 * nP)}
-
         outs = pl.pallas_call(
             self._update_kernel,
             grid=(steps, self.n_tiles),
@@ -673,7 +669,6 @@ class FusedPPOGrad:
             out_specs=out_specs,
             out_shape=out_shapes,
             scratch_shapes=scratch,
-            input_output_aliases=aliases,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary"),
                 # the default 16 MB scoped-vmem cap is conservative; the
