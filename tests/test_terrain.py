@@ -209,3 +209,41 @@ def test_terrain_curriculum_moves_levels(small_terrain_cfg):
         state, jnp.ones(4, bool), key=jax.random.PRNGKey(1), update_curriculum=True
     )
     assert bool(jnp.all(new.terrain_levels == 1))
+
+
+@pytest.mark.slow
+def test_refresh_interval_carries_measured_cache():
+    """terrain.refresh_interval=2: the measured grid refreshes on even
+    common_steps and is CARRIED (bit-identical) on odd ones, even though
+    the base moves; interval=1 resamples every step."""
+    import jax.numpy as jnp
+
+    from wiki_grx_gym_tpu.envs import task_registry
+
+    env_cfg, _ = task_registry.get_cfgs("GR1T1")
+    env_cfg.env.num_envs = 4
+    env_cfg.control.decimation = 2
+    env_cfg.terrain.mesh_type = "heightfield"
+    env_cfg.terrain.curriculum = True
+    env_cfg.terrain.refresh_interval = 2
+    env, _ = task_registry.make_env("GR1T1", env_cfg=env_cfg)
+    assert env.refresh_interval == 2
+
+    with jax.disable_jit():
+        s = env.init_state(jax.random.PRNGKey(0))
+        assert s.measured_cache is not None
+        a = 0.2 * jnp.ones((4, env.num_actions))
+        s, _ = env.step(s, a)          # common_step 0 -> refresh
+        c1 = np.asarray(s.measured_cache)
+        s, _ = env.step(s, a)          # common_step 1 -> carry
+        c2 = np.asarray(s.measured_cache)
+        # teleport: the next refresh must resample at the new pose
+        s = s.replace(
+            physics=s.physics.replace(
+                base_pos=s.physics.base_pos + jnp.asarray([1.5, 0.0, 0.0])
+            )
+        )
+        s, _ = env.step(s, a)          # common_step 2 -> refresh
+        c3 = np.asarray(s.measured_cache)
+    np.testing.assert_array_equal(c1, c2)
+    assert not np.array_equal(c2, c3)

@@ -120,6 +120,13 @@ class LeggedRobotCfg(BaseConfig):
         dynamic_friction = 1.0
         restitution = 0.0
         measure_heights = True
+        # terrain-sample refresh period in policy steps: k > 1 resamples
+        # the per-point contact ground planes and the measured height grid
+        # every k-th step and carries them in between (base travel is
+        # <= ~2 cm/step, bounding the staleness; just-reset envs get a
+        # flat spawn-origin plane until the next refresh). 1 = the
+        # reference's every-step sampling (legged_robot.py:329-330).
+        refresh_interval = 1
         measured_points_x = [-0.5, -0.4, -0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3, 0.4, 0.5]
         measured_points_y = [-0.5, -0.4, -0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3, 0.4, 0.5]
         selected = False

@@ -77,6 +77,9 @@ class EnvState:
     # populated on the Pallas kernel path over heightfield terrain
     # (sim/scalarized.py terrain_mode="local_plane"); None otherwise
     ground_plane: Any = None
+    # (N, H) measured-heights cache, carried when terrain.refresh_interval
+    # > 1 (heights resampled every k-th policy step); None otherwise
+    measured_cache: Any = None
 
 
 class StepOutput(NamedTuple):
@@ -240,6 +243,12 @@ class LeggedEnv:
         # measured_heights is a scalar 0 there, so the surround-heights
         # segment collapses to width 1 and no grid queries run
         self.measure_heights = bool(getattr(c.terrain, "measure_heights", True))
+        # terrain-sample refresh period in policy steps (see base_config):
+        # k > 1 resamples the contact ground planes and the measured grid
+        # every k-th step and carries them in between (the base travels
+        # <= ~2 cm per policy step, so staleness is bounded by that).
+        # 1 = the reference's every-step semantics (legged_robot.py:329).
+        self.refresh_interval = int(getattr(c.terrain, "refresh_interval", 1) or 1)
         self.num_height_points = (
             self.height_points.shape[0] if self.measure_heights else 1
         )
@@ -479,6 +488,11 @@ class LeggedEnv:
             terrain_levels=levels,
             terrain_types=types,
             # ground_plane filled by _refresh_ground_plane below
+            measured_cache=(
+                jnp.zeros((n, self.num_height_points))
+                if (self.terrain is not None and self.refresh_interval > 1)
+                else None
+            ),
             cmd_lin_vel_x_range=jnp.asarray(c.commands.ranges.lin_vel_x, jnp.float32),
         )
         # force a full reset of every env (BaseTask.reset, base_task.py:117-121);
@@ -486,7 +500,7 @@ class LeggedEnv:
         # legged_robot.py:806-808)
         done = jnp.ones(n, bool)
         state = self._reset_where(state, done, key=keys[11], update_curriculum=False)
-        state = self._refresh_ground_plane(state, done)
+        state = self._refresh_ground_plane(state, done, force=True)
         return state
 
     # ------------------------------------------------------------------
@@ -670,7 +684,8 @@ class LeggedEnv:
         gy = (hyp - hym) / (2.0 * eps)
         return jnp.stack([h - gx * x - gy * y, gx, gy], axis=-1)
 
-    def _refresh_ground_plane(self, state: EnvState, reset_mask, point_pos=None):
+    def _refresh_ground_plane(self, state: EnvState, reset_mask, point_pos=None,
+                              force: bool = False):
         """Resample the per-point ground planes for the next policy step
         (kernel-over-heightfield path only). Non-reset envs sample at the
         kernel's final-state point positions (exact); just-reset envs at the
@@ -682,16 +697,40 @@ class LeggedEnv:
         if self._pallas_mode() is None or self.terrain is None:
             return state
         phys = state.physics
-        pp_reset = phys.base_pos[:, None, :] + maths.quat_apply(
-            jnp.broadcast_to(phys.base_quat[:, None, :], (self.num_envs, self.model.num_points, 4)),
-            jnp.broadcast_to(self._default_point_rel, (self.num_envs, self.model.num_points, 3)),
+
+        def full_refresh():
+            pp_reset = phys.base_pos[:, None, :] + maths.quat_apply(
+                jnp.broadcast_to(phys.base_quat[:, None, :], (self.num_envs, self.model.num_points, 4)),
+                jnp.broadcast_to(self._default_point_rel, (self.num_envs, self.model.num_points, 3)),
+            )
+            if point_pos is None:
+                pp = pp_reset
+            else:
+                pp = jnp.where(reset_mask[:, None, None], pp_reset, point_pos)
+            tiles = self.terrain.extract_tiles(phys.base_pos[:, :2])
+            return self._sample_point_planes(pp, tiles=tiles)
+
+        k = self.refresh_interval
+        if force or k <= 1 or state.ground_plane is None:
+            return state.replace(ground_plane=full_refresh())
+
+        def carry():
+            # skip step: keep planes; just-reset envs (possibly teleported
+            # by the curriculum) get a flat plane at their spawn origin —
+            # terrain origins sit on locally flat patch centers with
+            # z = the patch's spawn height — corrected at the next refresh
+            nch = state.ground_plane.shape[-1]
+            flat = jnp.zeros((self.num_envs, 1, nch))
+            flat = flat.at[:, 0, 0].set(state.env_origins[:, 2])
+            flat = jnp.broadcast_to(flat, state.ground_plane.shape)
+            return jnp.where(reset_mask[:, None, None], flat, state.ground_plane)
+
+        # same phase as the measured-grid refresh (common_step was already
+        # incremented by this step's writeback)
+        planes = jax.lax.cond(
+            (state.common_step - 1) % k == 0, full_refresh, carry
         )
-        if point_pos is None:
-            pp = pp_reset
-        else:
-            pp = jnp.where(reset_mask[:, None, None], pp_reset, point_pos)
-        tiles = self.terrain.extract_tiles(phys.base_pos[:, :2])
-        return state.replace(ground_plane=self._sample_point_planes(pp, tiles=tiles))
+        return state.replace(ground_plane=planes)
 
     def _run_decimation(self, state: EnvState, actions: jax.Array, delay: jax.Array,
                         commands=None):
@@ -895,7 +934,17 @@ class LeggedEnv:
             projected_gravity = maths.quat_rotate_inverse(base_quat, jnp.broadcast_to(gravity_vec, (n, 3)))
 
             # measured terrain heights around the base (legged_robot.py:1235-1274)
-            measured_heights = self._measured_heights(phys, base_quat)
+            if self.terrain is not None and self.refresh_interval > 1:
+                # refresh every k-th policy step, carry the cache between
+                # (terrain.refresh_interval; lax.cond so the skip branch
+                # really skips the tile extraction + grid lookups)
+                measured_heights = jax.lax.cond(
+                    state.common_step % self.refresh_interval == 0,
+                    lambda: self._measured_heights(phys, base_quat),
+                    lambda: state.measured_cache,
+                )
+            else:
+                measured_heights = self._measured_heights(phys, base_quat)
             mean_heights = jnp.mean(measured_heights, axis=1)
 
             base_heights_offset = (
@@ -1072,6 +1121,8 @@ class LeggedEnv:
             feet_air_time=feet_air_time,
             feet_land_time=feet_land_time,
         )
+        if state.measured_cache is not None:
+            state = state.replace(measured_cache=measured_heights)
         state = self._reset_where(state, reset_buf, u=u_of("reset"), update_curriculum=True)
         state = self._refresh_ground_plane(state, reset_buf, point_pos=point_pos)
 
@@ -1445,7 +1496,7 @@ class LeggedEnv:
         key, k_reset = jax.random.split(state.rng)
         state = state.replace(rng=key)
         state = self._reset_where(state, jnp.ones(n, bool), key=k_reset)
-        state = self._refresh_ground_plane(state, jnp.ones(n, bool))
+        state = self._refresh_ground_plane(state, jnp.ones(n, bool), force=True)
         return self.step(state, jnp.zeros((n, self.num_actions)))
 
     @functools.cached_property

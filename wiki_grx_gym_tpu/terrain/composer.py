@@ -400,10 +400,30 @@ class Terrain:
         return tiles, jnp.asarray(sxs)[bx], jnp.asarray(sys_)[by]
 
     @staticmethod
-    def _sep_lookup(tiles, wx, wy):
-        """h[n, q] = wx[n, q, :] @ tiles[n] @ wy[n, q, :] on the MXU."""
+    def _sep_lookup(tiles, wx, wy, exact_weights: bool = False):
+        """h[n, q] = wx[n, q, :] @ tiles[n] @ wy[n, q, :] on the MXU.
+
+        The (N, Q, 48->128-lane-padded) weight operands are the dominant
+        HBM traffic of every terrain lookup (~500 MB f32 per refresh at
+        4096 envs, r5 terrain attribution), and the original
+        HIGHEST-precision f32 einsum ran 6 MXU passes.
+
+        Precision by weight kind (r5 microbench, .tpujobs/r5n_lookup.out):
+        bilinear fractional weights (`tile_height_fn`) run at 3-pass HIGH —
+        bf16x3 is f32-accurate and measured 17% faster than 6-pass HIGHEST;
+        bf16 operands are NOT usable there (weight rounding scales with the
+        full height, ~5 mm) nor worth it for the pure one-hot taps (a
+        bit-exact hi/lo bf16 digit factorization measured ~8% SLOWER — the
+        cost is the lane-padded one-hot operands, which XLA materializes
+        either way, not MXU passes). One-hot taps keep HIGHEST: integer
+        heights to ~2000 raw exceed bf16x3's exact range in the worst
+        case, and HIGHEST measured within noise of HIGH here."""
         return jnp.einsum(
-            "nqt,ntu,nqu->nq", wx, tiles, wy, precision=jax.lax.Precision.HIGHEST
+            "nqt,ntu,nqu->nq", wx, tiles, wy,
+            precision=(
+                jax.lax.Precision.HIGHEST if exact_weights
+                else jax.lax.Precision.HIGH
+            ),
         )
 
     def tile_height_fn(self, tiles, sx, sy, x: jax.Array, y: jax.Array):
@@ -447,7 +467,7 @@ class Terrain:
 
         wx = jnp.concatenate([oh(lx), oh(lx + 1), oh(lx)], axis=1)      # (N, 3Q, T)
         wy = jnp.concatenate([oh(ly), oh(ly), oh(ly + 1)], axis=1)
-        h3 = self._sep_lookup(tiles, wx, wy).reshape(x.shape[0], 3, -1)
+        h3 = self._sep_lookup(tiles, wx, wy, exact_weights=True).reshape(x.shape[0], 3, -1)
         return jnp.min(h3, axis=1) * self._vs
 
     def tile_measured_1tap(self, tiles_min, sx, sy, x: jax.Array, y: jax.Array):
@@ -468,7 +488,7 @@ class Terrain:
         ix = jnp.arange(t, dtype=jnp.int32)
         wx = (ix == lx[..., None]).astype(tiles_min.dtype)
         wy = (ix == ly[..., None]).astype(tiles_min.dtype)
-        return self._sep_lookup(tiles_min, wx, wy) * self._vs
+        return self._sep_lookup(tiles_min, wx, wy, exact_weights=True) * self._vs
 
     # ------------------------------------------------------------------
     # riser-aware (trimesh-semantics) ground queries
@@ -510,7 +530,7 @@ class Terrain:
             [oh(y0), oh(y0), oh(y0 + 1.0), oh(y0 + 1.0),
              oh(y0), oh(y0 + 1.0), oh(yb), oh(yb)], axis=1
         )
-        h8 = self._sep_lookup(tiles, wx, wy).reshape(x.shape[0], 8, -1)
+        h8 = self._sep_lookup(tiles, wx, wy, exact_weights=True).reshape(x.shape[0], 8, -1)
         x0w = (sx[:, None].astype(px.dtype) + x0) * self._hs - self._border_m
         y0w = (sy[:, None].astype(py.dtype) + y0) * self._hs - self._border_m
         return riser_channels(
