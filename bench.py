@@ -81,7 +81,7 @@ def time_fn(fn, *args, iters, warmup=2):
 
 
 def bench_config(num_envs, iters, subset=False, platform="tpu", task="GR1T1",
-                 mesh_type=None, train_hook=None):
+                 mesh_type=None, train_hook=None, env_hook=None):
     import jax
 
     from wiki_grx_gym_tpu.envs import task_registry
@@ -90,6 +90,8 @@ def bench_config(num_envs, iters, subset=False, platform="tpu", task="GR1T1",
     env_cfg.env.num_envs = num_envs
     if train_hook is not None:
         train_hook(train_cfg)
+    if env_hook is not None:
+        env_hook(env_cfg)
     if mesh_type is not None:
         env_cfg.terrain.mesh_type = mesh_type
         env_cfg.terrain.curriculum = True

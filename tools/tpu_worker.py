@@ -33,6 +33,12 @@ def main():
     t0 = time.time()
     import jax
 
+    # same persistent compile cache as bench.py: worker restarts (required
+    # after any package edit) would otherwise recompile every program cold
+    cache = REPO / ".jax_cache"
+    cache.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+
     devs = jax.devices()
     print(f"[worker] jax ready in {time.time() - t0:.1f}s: {devs}", flush=True)
     # force a real allocation so the grant is fully established
@@ -52,6 +58,12 @@ def main():
         for job in jobs:
             out_path = JOBS / (job.stem + ".out")
             print(f"[worker] running {job.name}", flush=True)
+            # always run against current code: drop project modules so each
+            # job re-imports them (stale cached modules silently ran old
+            # classes after edits — r4/r5 operational pain, CLAUDE.md)
+            for m in [k for k in sys.modules if k.split(".")[0] in
+                      ("wiki_grx_gym_tpu", "bench", "__graft_entry__")]:
+                del sys.modules[m]
             buf = io.StringIO()
             t1 = time.time()
             status = "ok"
