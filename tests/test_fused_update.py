@@ -216,3 +216,70 @@ def test_fused_supported_gate():
     pc.activation = "tanh"
     net2 = ActorCritic(39, 168, 23, pc)
     assert not FusedPPOGrad.supported(net2, None)
+
+
+def test_fused_dp2_matches_single_device():
+    """dp-mesh fused path: the per-shard kernel + gradient pmean under
+    shard_map must land on the same params/metrics as the single-device
+    fused scan when the minibatch composition matches (perm_groups pinned
+    to 2 in both)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from wiki_grx_gym_tpu.learn.ppo import Transition
+    from wiki_grx_gym_tpu.parallel.mesh import make_mesh
+
+    net, alg_cfg = _make_net(hidden=(32, 32))
+    alg_cfg.num_learning_epochs = 2
+    alg_cfg.num_mini_batches = 2
+    alg_cfg.storage_dtype = "float32"
+    alg_cfg.update_dtype = "float32"
+    alg_cfg.fused_update = True
+    alg_cfg.permutation_groups = 2
+    t, n = 6, 32
+
+    key = jax.random.PRNGKey(21)
+    ks = jax.random.split(key, 12)
+    a = net.num_actions
+    mu = jax.random.normal(ks[0], (t, n, a)) * 0.3
+    sigma = jnp.full((t, n, a), 0.2)
+    actions = mu + sigma * jax.random.normal(ks[1], (t, n, a))
+    batch = Transition(
+        obs=jax.random.normal(ks[2], (t, n, net.num_actor_input)),
+        critic_obs=jax.random.normal(ks[3], (t, n, net.num_critic_input)),
+        actions=actions, rewards=jnp.zeros((t, n)), dones=jnp.zeros((t, n), bool),
+        values=jax.random.normal(ks[5], (t, n)),
+        log_prob=ActorCritic.log_prob(mu, sigma, actions),
+        mu=mu, sigma=sigma,
+    )
+    returns = jax.random.normal(ks[6], (t, n))
+    advantages = jax.random.normal(ks[7], (t, n))
+    params = net.init(ks[8])
+
+    results = {}
+    for name, mesh in (("dp2", make_mesh(num_mp=1, devices=jax.devices()[:2])),
+                       ("single", None)):
+        alg_cfg.fused_update = mesh is not None   # baseline: XLA path, same
+        #                                           perm_groups=2 composition
+        ppo = PPO(net, alg_cfg, perm_groups=2, mesh=mesh)
+        assert ppo.fused_update == (mesh is not None)
+        assert (ppo.fused_dp_mesh is not None) == (mesh is not None)
+        st = ppo.init(params)
+        b, r, adv = batch, returns, advantages
+        if mesh is not None:
+            sh = NamedSharding(mesh, P(None, "dp"))
+            put = lambda x: jax.device_put(
+                x, NamedSharding(mesh, P(*( [None, "dp"] + [None]*(x.ndim-2) )))
+            )
+            b = jax.tree.map(put, batch)
+            r, adv = put(returns), put(advantages)
+        st2, m = ppo.update(st, b, r, adv, ks[9])
+        results[name] = (jax.device_get(m),
+                         jax.device_get(jax.tree.leaves(st2.params)))
+
+    m_d, p_d = results["dp2"]
+    m_s, p_s = results["single"]
+    for k in ("value_loss", "surrogate_loss", "kl", "lr"):
+        np.testing.assert_allclose(float(m_d[k]), float(m_s[k]), rtol=2e-4,
+                                   err_msg=f"metric {k}")
+    for x, y in zip(p_d, p_s):
+        np.testing.assert_allclose(x, y, rtol=1e-3, atol=2e-5)

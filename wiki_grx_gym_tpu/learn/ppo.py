@@ -52,7 +52,7 @@ class PPOState:
 
 class PPO:
     def __init__(self, net: ActorCritic, alg_cfg, extra_loss_fn=None, perm_groups: int = 1,
-                 shuffle_block: int = 16, flat_optimizer: bool = True):
+                 shuffle_block: int = 16, flat_optimizer: bool = True, mesh=None):
         """``extra_loss_fn(params, minibatch) -> scalar`` is the extension
         hook the reference exposes as ``calculate_other_loss``
         (ppo.py:289-295,323-324) for imitation/symmetry losses — e.g. a
@@ -139,15 +139,31 @@ class PPO:
         # (interpret mode off-TPU, for tests); False = XLA scan path.
         fu = getattr(alg_cfg, "fused_update", "auto")
         self.fused_update_tile = int(getattr(alg_cfg, "fused_update_tile", 512) or 512)
+        # data-parallel fused path: per-shard grads kernel under shard_map
+        # with a gradient pmean before clip/Adam (tensor parallelism keeps
+        # the XLA path — the kernel assumes whole weight tensors)
+        dp_ok = mesh is None or ("mp" not in mesh.axis_names or mesh.shape["mp"] == 1)
+        self.fused_dp_mesh = (
+            mesh if (mesh is not None and dp_ok and "dp" in mesh.axis_names
+                     and mesh.shape["dp"] > 1 and self.perm_groups == mesh.shape["dp"])
+            else None
+        )
         if fu == "auto":
-            fu = jax.default_backend() == "tpu" and jax.device_count() == 1
+            fu = jax.default_backend() == "tpu" and dp_ok
         if fu:
             from wiki_grx_gym_tpu.learn.fused_update import FusedPPOGrad
 
             fu = FusedPPOGrad.supported(net, extra_loss_fn)
-        self.fused_update = bool(fu) and self.perm_groups == 1 and flat_optimizer
-        # whole-update mega-kernel vs per-step kernel scan (both Pallas)
-        self.fused_mega = bool(getattr(alg_cfg, "fused_mega", True))
+        self.fused_update = (
+            bool(fu) and flat_optimizer
+            and (self.perm_groups == 1 or self.fused_dp_mesh is not None)
+        )
+        # whole-update mega-kernel vs per-step kernel scan (both Pallas);
+        # on a dp mesh the per-step form is required (the gradient pmean
+        # sits between the kernel and Adam)
+        self.fused_mega = (
+            bool(getattr(alg_cfg, "fused_mega", True)) and self.fused_dp_mesh is None
+        )
         self._fused_cache = {}
         # run clip+Adam over ONE raveled parameter vector instead of the
         # 10+-leaf pytree: optax maps ~8 elementwise ops per leaf, and those
@@ -509,12 +525,31 @@ class PPO:
     def _update_fused(self, ppo_state: PPOState, shuf_w, shuf_f, obs_dim, rows):
         """The PPO update phase on the Pallas path (learn/fused_update.py).
 
-        Default (``fused_mega``): the ENTIRE update — all grad steps plus
-        clip/Adam/adaptive-LR — is ONE kernel; parameters and Adam moments
-        stay in VMEM across every step. Fallback: a lax.scan where each
-        grad step is one kernel call + flat optax clip/Adam. Semantics are
-        identical to the XLA path either way
-        (tests/test_fused_update.py)."""
+        Single device (``fused_mega``): the ENTIRE update — all grad steps
+        plus clip/Adam/adaptive-LR — is ONE kernel; parameters and Adam
+        moments stay in VMEM across every step. dp mesh: the per-grad-step
+        kernel runs per shard under shard_map on its group-local minibatch,
+        with a gradient/metric pmean between the kernel and the flat
+        clip/Adam — the same all-reduce-only collective contract as the
+        XLA dp path (tests/test_parallel.py). Semantics are identical to
+        the XLA path either way (tests/test_fused_update.py)."""
+        if self.fused_dp_mesh is not None:
+            try:
+                from jax import shard_map
+            except ImportError:  # older jax
+                from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            f = lambda st, w, fb: self._fused_step_scan(
+                st, w, fb, obs_dim, rows, axis="dp"
+            )
+            return shard_map(
+                f, mesh=self.fused_dp_mesh,
+                in_specs=(P(), P("dp"), P("dp")),
+                out_specs=(P(), P()),
+                check_rep=False,
+            )(ppo_state, shuf_w, shuf_f)
+
         from jax.flatten_util import ravel_pytree
 
         fused = self._get_fused(rows)
@@ -538,10 +573,26 @@ class PPO:
                 metrics,
             )
 
+        return self._fused_step_scan(ppo_state, shuf_w, shuf_f, obs_dim, rows)
+
+    def _fused_step_scan(self, ppo_state, shuf_w, shuf_f, obs_dim, rows, axis=None):
+        """Per-grad-step kernel + flat optax clip/Adam as a lax.scan; with
+        ``axis`` set (inside shard_map) the kernel's shard-local grads,
+        loss and metrics are pmean'd over it before the optimizer — the
+        global-minibatch mean, since every shard holds an equal row
+        count."""
+        from jax.flatten_util import ravel_pytree
+
+        fused = self._get_fused(rows)
+        bufs = fused.split_buffers(shuf_w, shuf_f, obs_dim)
+        p0, unravel = ravel_pytree(ppo_state.params)
+
         def mb_step(carry, idx):
             params_flat, opt_state, lr = carry
             params = unravel(params_flat)
             loss, grads, aux = fused.grads(params, bufs, idx)
+            if axis is not None:
+                loss, grads, aux = jax.lax.pmean((loss, grads, aux), axis)
 
             lr = self._adapt_lr(lr, aux["kl"])
             opt_state.hyperparams["learning_rate"] = lr

@@ -111,7 +111,7 @@ class OnPolicyRunner:
         # raveling would all-gather the mp-sharded params every step
         flat_opt = mesh is None or "mp" not in mesh.axis_names or mesh.shape["mp"] == 1
         self.alg = PPO(self.net, self.alg_cfg, extra_loss_fn=extra_loss_fn, perm_groups=pg,
-                       shuffle_block=shuffle_block, flat_optimizer=flat_opt)
+                       shuffle_block=shuffle_block, flat_optimizer=flat_opt, mesh=mesh)
 
         # a task with no active reward terms trains on pure noise — this
         # bit silently in a 2000-iteration full-body run (the reference's
