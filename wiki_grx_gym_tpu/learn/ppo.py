@@ -547,7 +547,8 @@ class PPO:
                 f, mesh=self.fused_dp_mesh,
                 in_specs=(P(), P("dp"), P("dp")),
                 out_specs=(P(), P()),
-                check_rep=False,
+                # the pallas_call inside predates the vma annotation API
+                check_vma=False,
             )(ppo_state, shuf_w, shuf_f)
 
         from jax.flatten_util import ravel_pytree
