@@ -686,10 +686,12 @@ class PPO:
         LSTM replay over the (T, M) sequence with done-boundary resets —
         rsl_rl's recurrent generator semantics without padding/masks."""
         net = self.net
-        mean = net.action_mean_seq(params, mb["obs"], mb["done_prev"], mb["hidden0"])
+        # one fused T-scan for both memories (learn/recurrent.py)
+        mean, value = net.joint_mean_value_seq(
+            params, mb["obs"], mb["critic_obs"], mb["done_prev"], mb["hidden0"]
+        )
         std = jnp.broadcast_to(net.std(params), mean.shape)
         logp = net.log_prob(mean, std, mb["actions"])
-        value = net.evaluate_seq(params, mb["critic_obs"], mb["done_prev"], mb["hidden0"])
         entropy = net.entropy(std)
 
         old_mu, old_sigma = mb["mu"], mb["sigma"]

@@ -188,8 +188,10 @@ class OnPolicyRunner:
             env_state, obs, critic_obs, key, hidden, acc = carry
             key, k_act = jax.random.split(key)
             if self.recurrent:
-                actions, logp, mu, sigma, hidden = net.act_rnn(params, obs, hidden, k_act)
-                values, hidden = net.evaluate_rnn(params, critic_obs, hidden)
+                # both memories stepped in one dispatch chain
+                actions, logp, mu, sigma, values, hidden = net.act_evaluate_rnn(
+                    params, obs, critic_obs, hidden, k_act
+                )
                 packed = jnp.zeros((n, 0), alg.storage_dtype)
             else:
                 if alg.fused_trunk:
