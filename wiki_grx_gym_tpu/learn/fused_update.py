@@ -140,6 +140,40 @@ class FusedPPOGrad:
         self.vmem_limit_mb = int(vmem_limit_mb)
         self.interpret = bool(interpret)
 
+    def mega_vmem_bytes(self, tile: int) -> int:
+        """Scoped-VMEM estimate for the whole-update kernel at a given batch
+        tile: persistent p/m/v/grad scratches (padded to the (8, 128) f32
+        tiling), double-buffered data windows, and the tile's live
+        activations/transients. Calibrated against the Mosaic allocator's
+        reported sizes (GR1T1 @512 fits ~14.5 MB; the 32-DOF full-body
+        @512 was refused at >16 MB)."""
+        p8 = lambda x: -(-x // 8) * 8
+        p128 = lambda x: -(-x // 128) * 128
+        per_tensor = 0
+        dims_all = [self.actor_dims, self.critic_dims]
+        for dims in dims_all:
+            for a, b in zip(dims[:-1], dims[1:]):
+                per_tensor += p8(a) * p128(b) + 8 * p128(b)   # W + bias row
+        per_tensor += 8 * p128(self.act_dim)                  # std
+        scratch = 4 * per_tensor * 4                          # p, m, v, g f32
+        fdim = 3 * self.act_dim + 4
+        data = 2 * tile * (
+            (p128(self.obs_dim) + p128(self.cobs_dim)) * 2    # bf16 windows
+            + p128(fdim) * 4
+        )
+        width = sum(self.actor_dims[1:]) + sum(self.critic_dims[1:])
+        act = tile * p128(width) * 6                          # h/z/g transients
+        return scratch + data + act + (1 << 19)
+
+    def pick_mega_tile(self, budget: int = (15 << 20) + (1 << 19)):
+        """Largest batch tile whose whole-update kernel fits the scoped-VMEM
+        budget; None = the model is too large for the mega form (fall back
+        to the per-step kernel scan)."""
+        for t in (self.tile, 384, 256, 128):
+            if t <= self.tile and self.mega_vmem_bytes(t) <= budget:
+                return t
+        return None
+
     @staticmethod
     def supported(net, extra_loss_fn) -> bool:
         """The kernels cover the reference MLP path: elu hidden activations,

@@ -164,6 +164,7 @@ class PPO:
         self.fused_mega = (
             bool(getattr(alg_cfg, "fused_mega", True)) and self.fused_dp_mesh is None
         )
+        self._mega_ok = True
         self._fused_cache = {}
         # run clip+Adam over ONE raveled parameter vector instead of the
         # 10+-leaf pytree: optax maps ~8 elementwise ops per leaf, and those
@@ -463,7 +464,7 @@ class PPO:
                     and jax.default_backend() != "tpu")
                 else jnp.bfloat16
             )
-            self._fused_cache[rows] = FusedPPOGrad(
+            mk = lambda tile: FusedPPOGrad(
                 self.net,
                 clip_param=self.clip_param,
                 value_loss_coef=self.value_loss_coef,
@@ -472,7 +473,7 @@ class PPO:
                 rows=rows,
                 num_mini_batches=self.num_mini_batches,
                 num_epochs=self.num_learning_epochs,
-                tile=self.fused_update_tile,
+                tile=tile,
                 op_dtype=op,
                 max_grad_norm=self.max_grad_norm,
                 adaptive_lr=self.adaptive,
@@ -481,6 +482,18 @@ class PPO:
                 lr_max=self.lr_max,
                 interpret=jax.default_backend() != "tpu",
             )
+            fused = mk(self.fused_update_tile)
+            if self.fused_mega:
+                # shrink the batch tile until the whole-update kernel's
+                # persistent scratches fit scoped VMEM (the 32-DOF
+                # full-body model overflows at 512); no tile fits -> the
+                # per-step kernel scan for this geometry
+                t = fused.pick_mega_tile()
+                if t is None:
+                    self._mega_ok = False
+                elif t != fused.tile:
+                    fused = mk(t)
+            self._fused_cache[rows] = fused
         return self._fused_cache[rows]
 
     def _opt_state_pieces(self, opt_state, n_params: int):
@@ -557,7 +570,7 @@ class PPO:
         bufs = fused.split_buffers(shuf_w, shuf_f, obs_dim)
         p0, unravel = ravel_pytree(ppo_state.params)
 
-        if self.fused_mega:
+        if self.fused_mega and self._mega_ok:
             count, mu, nu, rebuild = self._opt_state_pieces(
                 ppo_state.opt_state, p0.size
             )
