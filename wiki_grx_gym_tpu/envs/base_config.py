@@ -126,7 +126,11 @@ class LeggedRobotCfg(BaseConfig):
         # <= ~2 cm/step, bounding the staleness; just-reset envs get a
         # flat spawn-origin plane until the next refresh). 1 = the
         # reference's every-step sampling (legged_robot.py:329-330).
-        refresh_interval = 1
+        # Default 2: heightfield/trimesh training at k=2 matched or beat
+        # the k=1 tracking tables on every command (docs/TRAINING.md r5;
+        # trimesh wz 76.6 -> 97.2%) at +35-55% terrain throughput
+        # (.tpujobs/r5o2: trimesh 1.01M -> 1.54M env-steps/s @4096)
+        refresh_interval = 2
         measured_points_x = [-0.5, -0.4, -0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3, 0.4, 0.5]
         measured_points_y = [-0.5, -0.4, -0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3, 0.4, 0.5]
         selected = False
