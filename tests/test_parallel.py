@@ -140,8 +140,11 @@ def test_dp1_vs_dp8_training_step_equivalence(mesh8):
     # the achievable tolerance (the raveled-optimizer clip sums in yet
     # another order); anything beyond ~1e-4 would indicate real sharding
     # corruption
+    # surrogate_loss is a near-cancelling mean (|net| ~ 2e-2 from +-1
+    # summands), so its tolerance is absolute at the f32 noise floor of
+    # the summands rather than relative to the cancelled result
     for k in ("value_loss", "surrogate_loss", "kl", "mean_step_reward", "done_count"):
-        np.testing.assert_allclose(m1[k], m8[k], rtol=1e-4, atol=2e-5, err_msg=k)
+        np.testing.assert_allclose(m1[k], m8[k], rtol=1e-4, atol=6e-5, err_msg=k)
     # Adam's per-parameter normalization amplifies reduction-order noise in
     # near-zero gradients, so params get a slightly looser atol (real
     # sharding corruption shows up orders of magnitude above this)
