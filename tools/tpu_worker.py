@@ -64,15 +64,19 @@ def main():
             for m in [k for k in sys.modules if k.split(".")[0] in
                       ("wiki_grx_gym_tpu", "bench", "__graft_entry__")]:
                 del sys.modules[m]
-            buf = io.StringIO()
             t1 = time.time()
             status = "ok"
+            # stream to the .out file LIVE (line-buffered): long jobs used
+            # to buffer everything in memory and lose it all when a wedged
+            # TPU grant forced a kill (r5 full-body job, 2 h of results)
+            buf = open(out_path, "w", buffering=1)
             try:
                 code = compile(job.read_text(), str(job), "exec")
                 with redirect_stdout(buf), redirect_stderr(buf):
                     exec(code, shared)
             except SystemExit:
-                out_path.write_text(buf.getvalue() + "\n[worker] exiting\n")
+                buf.write("\n[worker] exiting\n")
+                buf.close()
                 (JOBS / (job.stem + ".done")).touch()
                 print("[worker] shutdown requested", flush=True)
                 return
@@ -80,7 +84,7 @@ def main():
                 buf.write(traceback.format_exc())
                 status = "error"
             buf.write(f"\n[worker] job {job.name}: {status} in {time.time() - t1:.1f}s\n")
-            out_path.write_text(buf.getvalue())
+            buf.close()
             (JOBS / (job.stem + ".done")).touch()
             done.add(job.stem)
             print(f"[worker] {job.name} {status} ({time.time() - t1:.1f}s)", flush=True)
