@@ -247,3 +247,41 @@ def test_refresh_interval_carries_measured_cache():
         c3 = np.asarray(s.measured_cache)
     np.testing.assert_array_equal(c1, c2)
     assert not np.array_equal(c2, c3)
+
+
+@pytest.mark.slow
+def test_refresh_interval_carries_ground_planes():
+    """refresh_interval=2 on the kernel (lanes) heightfield path: the
+    per-point ground planes are carried bit-identical through skip steps,
+    refreshed on even steps, and just-reset envs get the flat spawn-origin
+    plane (c = origin z, zero gradient) on skip steps."""
+    from wiki_grx_gym_tpu.envs import task_registry
+
+    env_cfg, _ = task_registry.get_cfgs("GR1T1")
+    env_cfg.env.num_envs = 4
+    env_cfg.control.decimation = 2
+    env_cfg.sim.use_pallas = "lanes"
+    env_cfg.terrain.mesh_type = "heightfield"
+    env_cfg.terrain.curriculum = True
+    env_cfg.terrain.refresh_interval = 2
+    env, _ = task_registry.make_env("GR1T1", env_cfg=env_cfg)
+    assert env._pallas_mode() is not None
+
+    with jax.disable_jit():
+        s = env.init_state(jax.random.PRNGKey(0))
+        assert s.ground_plane is not None
+        a = jnp.zeros((4, env.num_actions))
+        s, o1 = env.step(s, a)      # cs 0 -> planes refreshed (post-step)
+        g1 = np.asarray(s.ground_plane)
+        s, o2 = env.step(s, a)      # cs 1 -> carry (unless an env reset)
+        g2 = np.asarray(s.ground_plane)
+        resets = np.asarray(o2.reset)
+    for i in range(4):
+        if resets[i]:
+            # flat spawn plane: c = origin z, gradients/walls zero
+            np.testing.assert_allclose(
+                g2[i, :, 0], float(np.asarray(s.env_origins)[i, 2]), atol=1e-6
+            )
+            np.testing.assert_allclose(g2[i, :, 1:3], 0.0, atol=1e-6)
+        else:
+            np.testing.assert_array_equal(g1[i], g2[i])
