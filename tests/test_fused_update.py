@@ -283,3 +283,55 @@ def test_fused_dp2_matches_single_device():
                                    err_msg=f"metric {k}")
     for x, y in zip(p_d, p_s):
         np.testing.assert_allclose(x, y, rtol=1e-3, atol=2e-5)
+
+
+@pytest.mark.parametrize("path", ["mega", "step", "xla"])
+def test_std_floor_projected_in_every_update_path(path):
+    """noise_std_floor (base_config.policy): with the floor set ABOVE the
+    current std, one PPO.update must project every std dim to >= floor in
+    all three update paths (mega kernel, per-step kernel + optax, XLA
+    scan) — the projection happens after each optimizer step, so the final
+    params carry it."""
+    from wiki_grx_gym_tpu.learn.ppo import Transition
+
+    _, train_cfg = task_registry.get_cfgs("GR1T1")
+    pc = train_cfg.policy
+    pc.actor_hidden_dims = [32, 32]
+    pc.critic_hidden_dims = [32, 32]
+    pc.noise_std_floor = 0.3  # above init_noise_std=0.2 -> forces the clamp
+    net = ActorCritic(39, 168, 23, policy_cfg=pc)
+    alg_cfg = train_cfg.algorithm
+    alg_cfg.fused_update = path != "xla"
+    alg_cfg.fused_mega = path == "mega"
+    alg_cfg.num_learning_epochs = 2
+    alg_cfg.num_mini_batches = 2
+    alg_cfg.storage_dtype = "float32"
+    alg_cfg.update_dtype = "float32"
+    t, n = 8, 64
+
+    ks = jax.random.split(jax.random.PRNGKey(5), 10)
+    a = net.num_actions
+    mu = jax.random.normal(ks[0], (t, n, a)) * 0.3
+    sigma = jnp.full((t, n, a), 0.2)
+    actions = mu + sigma * jax.random.normal(ks[1], (t, n, a))
+    batch = Transition(
+        obs=jax.random.normal(ks[2], (t, n, net.num_actor_input)),
+        critic_obs=jax.random.normal(ks[3], (t, n, net.num_critic_input)),
+        actions=actions, rewards=jnp.zeros((t, n)), dones=jnp.zeros((t, n), bool),
+        values=jax.random.normal(ks[5], (t, n)),
+        log_prob=ActorCritic.log_prob(mu, sigma, actions),
+        mu=mu, sigma=sigma,
+    )
+    params = net.init(ks[8])
+    # rollout-side std also honors the floor (safety net for old ckpts)
+    assert float(jnp.min(net.std(params))) >= 0.3
+
+    ppo = PPO(net, alg_cfg)
+    assert ppo.fused_update == (path != "xla")
+    st = ppo.init(params)
+    st2, _ = ppo.update(
+        st, batch, jax.random.normal(ks[6], (t, n)),
+        jax.random.normal(ks[7], (t, n)), ks[9],
+    )
+    final_std = np.asarray(st2.params.std)
+    assert final_std.min() >= 0.3 - 1e-6, final_std

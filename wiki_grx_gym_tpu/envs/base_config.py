@@ -349,6 +349,13 @@ class LeggedRobotCfgPPO(BaseConfig):
     class policy:
         init_noise_std = 1.0
         fixed_std = False
+        # exploration floor for the learnable per-dim std: after every
+        # optimizer step params.std is projected to max(std, floor)
+        # (projected gradient — the std still receives gradients at the
+        # boundary). 0 disables (the reference's unconstrained std,
+        # actor_critic_mlp.py:82-83). Used by tasks where the annealed std
+        # stops exploration before tracking converges (GR1T1_full).
+        noise_std_floor = 0.0
         actor_hidden_dims = [512, 256, 128]
         critic_hidden_dims = [512, 256, 128]
         activation = "elu"

@@ -453,6 +453,15 @@ class GR1T1FullCfgPPO(GR1T1CfgPPO):
     class runner(GR1T1CfgPPO.runner):
         run_name = "gr1t1_full"
 
+    class policy(GR1T1CfgPPO.policy):
+        # exploration floor (r5, .tpujobs/r5f_fullbody): with entropy_coef=0
+        # (required — see algorithm below) the learnable std anneals to
+        # ~0.04 by iter 2000 and exploration ends before velocity tracking
+        # sharpens (vx tracking 18-47%, docs/TRAINING.md r4). Projecting
+        # the std at 0.10 keeps exploring without the instability of a
+        # fixed sigma=0.2 (which destabilized: 51-97% survival, j26).
+        noise_std_floor = 0.10
+
     class algorithm(GR1T1CfgPPO.algorithm):
         # adopt the *validated* lower-limb recipe (desired_kl 0.03,
         # gr1t1_lower_limb_config.py:113) rather than the reference full

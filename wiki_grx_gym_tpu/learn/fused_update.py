@@ -119,6 +119,11 @@ class FusedPPOGrad:
         self.critic_dims = [self.cobs_dim] + list(net.critic_hidden) + [1]
         self.fixed_std = bool(net.fixed_std)
         self.init_noise_std = float(net.init_noise_std)
+        # exploration floor: std projected back after each in-kernel Adam
+        # step (mirrors PPO._project_std on the XLA / per-step paths)
+        self.std_floor = (
+            0.0 if self.fixed_std else float(getattr(net, "noise_std_floor", 0.0))
+        )
         self.clip_param = float(clip_param)
         self.value_loss_coef = float(value_loss_coef)
         self.entropy_coef = float(entropy_coef)
@@ -625,6 +630,10 @@ class FusedPPOGrad:
                 m_ref[...] = m
                 v_ref[...] = v
                 p_ref[...] -= lr * (m / bc1) / (jnp.sqrt(v / bc2) + self.adam_eps)
+
+            if self.std_floor > 0.0:
+                # projected std floor, matching PPO._project_std
+                ps[-1][...] = jnp.maximum(ps[-1][...], self.std_floor)
 
             scal[0, 1] += vl_mean
             scal[0, 2] += surr_mean

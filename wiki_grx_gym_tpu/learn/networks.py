@@ -117,6 +117,10 @@ class ActorCritic:
         )
         self.fixed_std = bool(policy_cfg.fixed_std)
         self.init_noise_std = float(policy_cfg.init_noise_std)
+        # exploration floor for the learnable std (projected after every
+        # optimizer step; base_config.policy.noise_std_floor). 0 = off —
+        # the reference's unconstrained learnable std.
+        self.noise_std_floor = float(getattr(policy_cfg, "noise_std_floor", 0.0))
         # mixed precision: bf16 matmuls (MXU-native on TPU), f32 params /
         # optimizer / distribution math. No reference equivalent (the
         # reference trains f32 throughout); validated for learning parity in
@@ -141,6 +145,11 @@ class ActorCritic:
     def std(self, params: ActorCriticParams):
         if self.fixed_std:
             return jnp.full((self.num_actions,), self.init_noise_std)
+        if self.noise_std_floor > 0.0:
+            # safety net only: the update paths project params.std back to
+            # the floor after every optimizer step, so this max is normally
+            # the identity — it guards checkpoints written below the floor.
+            return jnp.maximum(params.std, self.noise_std_floor)
         return params.std
 
     def act(self, params: ActorCriticParams, obs, key):

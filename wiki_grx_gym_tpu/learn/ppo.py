@@ -82,6 +82,14 @@ class PPO:
         1 == the reference's exact per-sample shuffle semantics."""
         self.net = net
         self.cfg = alg_cfg
+        # learnable-std exploration floor (base_config.policy.noise_std_floor):
+        # projected after every optimizer step in all update paths so the
+        # rollout's floored std (networks.ActorCritic.std) and the update's
+        # raw params.std read never diverge
+        self.std_floor = (
+            0.0 if getattr(net, "fixed_std", False)
+            else float(getattr(net, "noise_std_floor", 0.0))
+        )
         self.extra_loss_fn = extra_loss_fn
         self.perm_groups = int(perm_groups)
         self.shuffle_block = int(shuffle_block)
@@ -616,6 +624,7 @@ class PPO:
             flat_grads = jnp.where(ok, flat_grads, jnp.zeros_like(flat_grads))
             updates, opt_state = self.tx.update(flat_grads, opt_state, params_flat)
             params_flat = optax.apply_updates(params_flat, updates)
+            params_flat = self._project_std(params_flat, unravel)
             metrics = {
                 "value_loss": aux["value_loss"],
                 "surrogate_loss": aux["surrogate_loss"],
@@ -637,6 +646,20 @@ class PPO:
             PPOState(params=unravel(p_final), opt_state=opt_state, learning_rate=lr),
             mean_metrics,
         )
+
+    def _project_std(self, params, unravel=None):
+        """Project the learnable std to the exploration floor after an
+        optimizer step (projected gradient; no-op when the floor is 0).
+        ``unravel`` set means ``params`` is the raveled flat vector."""
+        if self.std_floor <= 0.0:
+            return params
+        if unravel is None:
+            return params.replace(std=jnp.maximum(params.std, self.std_floor))
+        from jax.flatten_util import ravel_pytree
+
+        p = unravel(params)
+        p = p.replace(std=jnp.maximum(p.std, self.std_floor))
+        return ravel_pytree(p)[0]
 
     def _run_epochs(self, ppo_state: PPOState, perms, get_mb, loss_fn):
         """Shared epochs-x-minibatches scan: grads, adaptive-KL LR, NaN skip,
@@ -672,6 +695,7 @@ class PPO:
             grads = jax.tree.map(lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            params = self._project_std(params, unravel if self.flat_optimizer else None)
             metrics = {
                 "value_loss": aux["value_loss"],
                 "surrogate_loss": aux["surrogate_loss"],
